@@ -1,0 +1,529 @@
+"""Stage wrappers for the DSP ops (declarative chain building blocks).
+
+Each wrapper exposes the same *control surface* as its reference analog
+(live setters for offset, bandpass, squelch, …) but mutates host-side
+parameter values that flow into the jitted program as traced arrays —
+live control never recompiles (reference does live graph surgery instead,
+``csdr/chain/selector.py:132-166``).
+
+Block-size negotiation: every stage declares ``ratio()`` (output/input
+block length as a Fraction) and ``divisor()`` (divisibility required of
+its input block), so ``plan_block_size`` can pick the smallest block of
+roughly a target duration that keeps every stage's shapes integral and
+static under jit.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from math import gcd
+
+import numpy as np
+import jax.numpy as jnp
+
+from openwebrx_tpu.ops import firdes, nco, fir, iir, demod, agc, squelch, fftops, bandpass, adpcm, convert
+from openwebrx_tpu.ops.formats import Format, StreamSpec
+from openwebrx_tpu.runtime.chain import Stage, Chain, digest
+
+
+class OpStage(Stage):
+    """Base with ratio/divisor defaults."""
+
+    def ratio(self, in_spec: StreamSpec) -> Fraction:
+        return Fraction(1)
+
+    def divisor(self, in_spec: StreamSpec) -> int:
+        return 1
+
+    def apply(self, state, params, x):
+        raise NotImplementedError
+
+    def plan(self, in_spec: StreamSpec, block: int):
+        self.in_spec = in_spec
+        self.block = block
+        r = self.ratio(in_spec)
+        out_block = block * r
+        if out_block.denominator != 1:
+            raise ValueError(f"{self.label}: block {block} × ratio {r} not integral")
+        return self._out_spec(in_spec), int(out_block)
+
+    def _out_spec(self, in_spec: StreamSpec) -> StreamSpec:
+        return in_spec
+
+
+# ------------------------------------------------------------------ shift --
+class ShiftStage(OpStage):
+    """NCO mixer (reference Shift, csdr/chain/selector.py:95)."""
+
+    def __init__(self, rate: float = 0.0, name: str = "shift"):
+        self.name = name
+        self._rate = float(rate)
+
+    def set_rate(self, rate: float):
+        self._rate = float(rate)
+
+    def init_state(self, batch_shape=()):
+        return nco.shift_init(batch_shape)
+
+    def params(self):
+        return jnp.float32(self._rate)
+
+    def apply(self, state, params, x):
+        state, y = nco.shift_apply(state, params, x)
+        return state, y, {}
+
+    def signature(self):
+        return ("shift",)
+
+
+# -------------------------------------------------------------- decimator --
+class FirDecimateStage(OpStage):
+    """Integer FIR decimation (reference FirDecimate, csdr/chain/selector.py:29)."""
+
+    def __init__(self, decimation: int, transition_bw: float, cutoff: float | None = None,
+                 name: str = "fir_decimate"):
+        self.name = name
+        self.decimation = int(decimation)
+        self.transition_bw = float(transition_bw)
+        cutoff = cutoff if cutoff is not None else 0.5 / self.decimation - transition_bw / 2
+        self.taps = firdes.lowpass_taps(max(cutoff, 1e-4), transition_bw)
+
+    def ratio(self, in_spec):
+        return Fraction(1, self.decimation)
+
+    def divisor(self, in_spec):
+        return self.decimation
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_rate(in_spec.rate / self.decimation)
+
+    def init_state(self, batch_shape=()):
+        return fir.fir_init(len(self.taps), batch_shape,
+                            complex_input=self.in_spec.format.is_complex)
+
+    def apply(self, state, params, x):
+        state, y = fir.fir_apply(state, self.taps, x, self.decimation)
+        return state, y, {}
+
+    def signature(self):
+        return ("fir_decimate", self.decimation, digest(self.taps))
+
+
+class FractionalDecimatorStage(OpStage):
+    """Rational L/M resampling via a single polyphase conv
+    (reference FractionalDecimator, csdr/chain/selector.py + analog.py:66)."""
+
+    def __init__(self, interpolation: int, decimation: int, transition_bw: float | None = None,
+                 taps: np.ndarray | None = None, name: str = "fractional"):
+        self.name = name
+        self.interpolation = int(interpolation)
+        self.decimation = int(decimation)
+        if taps is None:
+            # anti-alias at the upsampled rate: cutoff 0.5/max(L,M)
+            cut = 0.45 / max(self.interpolation, self.decimation)
+            tbw = transition_bw if transition_bw is not None else cut * 0.3
+            taps = firdes.lowpass_taps(cut, tbw) * self.interpolation
+        self.bank, self.tail_len, self.delay_groups = fir.polyphase_bank(
+            taps, self.interpolation, self.decimation)
+
+    def ratio(self, in_spec):
+        return Fraction(self.interpolation, self.decimation)
+
+    def divisor(self, in_spec):
+        return self.decimation
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_rate(in_spec.rate * self.interpolation / self.decimation)
+
+    def init_state(self, batch_shape=()):
+        return fir.resample_init(self.tail_len, batch_shape,
+                                 complex_input=self.in_spec.format.is_complex)
+
+    def apply(self, state, params, x):
+        state, y = fir.resample_apply(state, self.bank, x,
+                                      self.interpolation, self.decimation)
+        return state, y, {}
+
+    def signature(self):
+        return ("fractional", self.interpolation, self.decimation, digest(self.bank))
+
+
+# --------------------------------------------------------------- bandpass --
+class BandpassStage(OpStage):
+    """Live-tunable FFT bandpass (reference Bandpass use_fft=True,
+    csdr/chain/selector.py:115-117; transition 320/outRate)."""
+
+    def __init__(self, low_cut_hz: float, high_cut_hz: float, name: str = "bandpass"):
+        self.name = name
+        self._low = float(low_cut_hz)
+        self._high = float(high_cut_hz)
+        self._response = None
+
+    def set_bandpass(self, low_cut_hz: float, high_cut_hz: float):
+        self._low, self._high = float(low_cut_hz), float(high_cut_hz)
+        if hasattr(self, "in_spec"):  # pre-plan: plan() will compute it
+            self._recompute()
+
+    def plan(self, in_spec, block):
+        self.transition = 320.0 / in_spec.rate
+        self.ntaps = firdes.bandpass_ntaps(self.transition)
+        self.nfft = bandpass.plan_nfft(self.ntaps, block)
+        out = super().plan(in_spec, block)
+        self._recompute()
+        return out
+
+    def _recompute(self):
+        rate = self.in_spec.rate
+        lo = np.clip(self._low / rate, -0.4999, 0.4999)
+        hi = np.clip(self._high / rate, lo + self.transition, 0.49999)
+        self._response = firdes.bandpass_response(lo, hi, self.transition, self.nfft)
+
+    def init_state(self, batch_shape=()):
+        return bandpass.bandpass_init(self.ntaps, batch_shape)
+
+    def params(self):
+        return jnp.asarray(self._response)
+
+    def apply(self, state, params, x):
+        state, y = bandpass.bandpass_apply(state, params, x, self.ntaps, self.nfft)
+        return state, y, {}
+
+    def signature(self):
+        return ("bandpass", self.ntaps, self.nfft)
+
+
+# ---------------------------------------------------------------- squelch --
+class SquelchStage(OpStage):
+    """Power squelch + s-meter tap (reference Squelch,
+    csdr/chain/selector.py:104-130: 16 measurements/s)."""
+
+    MEASUREMENTS_PER_S = 16
+
+    def __init__(self, level_db: float = -150.0, name: str = "squelch"):
+        self.name = name
+        self._level = float(level_db)
+
+    def set_level(self, level_db: float):
+        self._level = float(level_db)
+
+    def plan(self, in_spec, block):
+        self.window = max(1, int(round(in_spec.rate / self.MEASUREMENTS_PER_S)))
+        return super().plan(in_spec, block)
+
+    def divisor(self, in_spec):
+        return max(1, int(round(in_spec.rate / self.MEASUREMENTS_PER_S)))
+
+    def init_state(self, batch_shape=()):
+        return squelch.squelch_init(batch_shape)
+
+    def params(self):
+        return jnp.float32(self._level)
+
+    def apply(self, state, params, x):
+        state, y, power_db = squelch.squelch_apply(state, params, x, self.window)
+        return state, y, {"power_db": power_db}
+
+    def signature(self):
+        return ("squelch", self.window)
+
+
+# ----------------------------------------------------------------- demods --
+class FmDemodStage(OpStage):
+    """Quadrature FM discriminator (reference FmDemod, csdr/chain/analog.py:41)."""
+
+    name = "fm_demod"
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_format(Format.FLOAT)
+
+    def init_state(self, batch_shape=()):
+        return demod.fm_init(batch_shape)
+
+    def apply(self, state, params, x):
+        state, y = demod.fm_demod(state, x)
+        return state, y, {}
+
+    def signature(self):
+        return ("fm_demod",)
+
+
+class AmDemodStage(OpStage):
+    """Envelope detector (reference AmDemod, csdr/chain/analog.py:17)."""
+
+    name = "am_demod"
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_format(Format.FLOAT)
+
+    def apply(self, state, params, x):
+        return state, demod.am_demod(x), {}
+
+    def signature(self):
+        return ("am_demod",)
+
+
+class RealPartStage(OpStage):
+    """SSB detector (reference RealPart, csdr/chain/analog.py:125)."""
+
+    name = "real_part"
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_format(Format.FLOAT)
+
+    def apply(self, state, params, x):
+        return state, demod.real_part(x), {}
+
+    def signature(self):
+        return ("real_part",)
+
+
+class SyncAmStage(OpStage):
+    """Carrier-locked AM (reference Afc+AmDemod 'SAm', csdr/chain/analog.py:149)."""
+
+    name = "sync_am"
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_format(Format.FLOAT)
+
+    def init_state(self, batch_shape=()):
+        return demod.sync_am_init(batch_shape)
+
+    def apply(self, state, params, x):
+        state, y = demod.sync_am_demod(state, x)
+        return state, y, {}
+
+    def signature(self):
+        return ("sync_am",)
+
+
+class LimitStage(OpStage):
+    """Clipper (reference Limit, csdr/chain/analog.py:60)."""
+
+    name = "limit"
+
+    def __init__(self, max_amplitude: float = 1.0):
+        self.max_amplitude = float(max_amplitude)
+
+    def apply(self, state, params, x):
+        return state, demod.limit(x, self.max_amplitude), {}
+
+    def signature(self):
+        return ("limit", self.max_amplitude)
+
+
+class GainStage(OpStage):
+    name = "gain"
+
+    def __init__(self, g: float):
+        self._g = float(g)
+
+    def set_gain(self, g: float):
+        self._g = float(g)
+
+    def params(self):
+        return jnp.float32(self._g)
+
+    def apply(self, state, params, x):
+        return state, x * params, {}
+
+    def signature(self):
+        return ("gain",)
+
+
+# --------------------------------------------------------------- IIR-ish ---
+class DcBlockStage(OpStage):
+    """Single-pole DC blocker (reference DcBlock, csdr/chain/analog.py:18)."""
+
+    name = "dc_block"
+
+    def plan(self, in_spec, block):
+        self.coeffs = iir.dc_block_coeffs(in_spec.rate)
+        return super().plan(in_spec, block)
+
+    def init_state(self, batch_shape=()):
+        return iir.first_order_init(batch_shape)
+
+    def apply(self, state, params, x):
+        b0, b1, a1 = self.coeffs
+        state, y = iir.first_order_apply(state, b0, b1, a1, x)
+        return state, y, {}
+
+    def signature(self):
+        return ("dc_block", self.coeffs)
+
+
+class DeemphasisStage(OpStage):
+    """One-pole de-emphasis (reference {Nfm,Wfm}Deemphasis,
+    csdr/chain/analog.py:43,67; tau per DeemphasisTauChain)."""
+
+    def __init__(self, tau: float, name: str = "deemphasis"):
+        self.name = name
+        self.tau = float(tau)
+
+    def plan(self, in_spec, block):
+        self.coeffs = iir.deemphasis_coeffs(in_spec.rate, self.tau)
+        return super().plan(in_spec, block)
+
+    def init_state(self, batch_shape=()):
+        return iir.first_order_init(batch_shape)
+
+    def apply(self, state, params, x):
+        b0, b1, a1 = self.coeffs
+        state, y = iir.first_order_apply(state, b0, b1, a1, x)
+        return state, y, {}
+
+    def signature(self):
+        return ("deemphasis", self.coeffs)
+
+
+class AgcStage(OpStage):
+    """Chunked AGC (reference Agc FAST/SLOW, csdr/chain/analog.py:13-15)."""
+
+    def __init__(self, profile: agc.AgcProfile = agc.FAST, name: str = "agc"):
+        self.name = name
+        self.profile = profile
+
+    def divisor(self, in_spec):
+        return agc.CHUNK
+
+    def init_state(self, batch_shape=()):
+        return agc.agc_init(self.profile, batch_shape)
+
+    def apply(self, state, params, x):
+        state, y = agc.agc_apply(state, self.profile, x)
+        return state, y, {}
+
+    def signature(self):
+        return ("agc", self.profile)
+
+
+# -------------------------------------------------------------- waterfall --
+class WaterfallStage(OpStage):
+    """Fft → LogAveragePower → FftSwap (reference csdr/chain/fft.py:5-96).
+
+    Terminal stage: output is (..., rows, fft_size) float32 dB rows.
+    """
+
+    def __init__(self, fft_size: int, fps: float, add_db: float = -70.0,
+                 overlap_factor: float = 0.3, name: str = "waterfall"):
+        self.name = name
+        self.fft_size = int(fft_size)
+        self.fps = float(fps)
+        self.add_db = float(add_db)
+        self.overlap_factor = overlap_factor
+
+    def plan(self, in_spec, block):
+        self.every_n, self.averages = fftops.waterfall_params(
+            in_spec.rate, self.fft_size, self.fps, self.overlap_factor)
+        self.window = fftops.hann_window(self.fft_size)
+        self.in_spec = in_spec
+        self.block = block
+        rows = Fraction(block, self.every_n * self.averages)
+        if rows.denominator != 1:
+            raise ValueError(f"waterfall: block {block} not divisible by "
+                             f"{self.every_n}×{self.averages}")
+        out_rate = in_spec.rate / (self.every_n * self.averages)
+        return in_spec.with_format(Format.FLOAT).with_rate(out_rate), int(rows)
+
+    def divisor(self, in_spec):
+        every_n, averages = fftops.waterfall_params(
+            in_spec.rate, self.fft_size, self.fps, self.overlap_factor)
+        return every_n * averages
+
+    def ratio(self, in_spec):
+        return Fraction(1, self.divisor(in_spec))
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_format(Format.FLOAT).with_rate(
+            in_spec.rate / self.divisor(in_spec))
+
+    def init_state(self, batch_shape=()):
+        return fftops.fft_init(self.fft_size, self.every_n, batch_shape)
+
+    def apply(self, state, params, x):
+        state, p = fftops.fft_power(state, jnp.asarray(self.window), x,
+                                    self.fft_size, self.every_n)
+        rows = fftops.log_average(p, self.averages, self.add_db)
+        return state, fftops.fft_swap(rows), {}
+
+    def signature(self):
+        return ("waterfall", self.fft_size, self.every_n, self.averages, self.add_db)
+
+
+# ------------------------------------------------------------ client audio --
+class AdpcmEncodeStage(OpStage):
+    """IMA ADPCM encode (reference AdpcmEncoder(sync=True),
+    csdr/chain/clientaudio.py:34).  Input float [−1,1]; output y is a tuple
+    (bytes uint8 (..., B/2), predictors, step_indices) — the host SyncFramer
+    splices sync headers."""
+
+    name = "adpcm"
+
+    def divisor(self, in_spec):
+        return 2
+
+    def ratio(self, in_spec):
+        return Fraction(1, 2)
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_format(Format.CHAR).with_rate(in_spec.rate / 2)
+
+    def init_state(self, batch_shape=()):
+        return adpcm.adpcm_init(batch_shape)
+
+    def apply(self, state, params, x):
+        samples = convert.float_to_short(x)
+        state, out = adpcm.adpcm_encode(state, samples)
+        return state, out, {}
+
+    def signature(self):
+        return ("adpcm_encode",)
+
+
+class FloatToShortStage(OpStage):
+    """Reference Convert FLOAT→SHORT (csdr/chain/clientaudio.py:12)."""
+
+    name = "to_short"
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_format(Format.SHORT)
+
+    def apply(self, state, params, x):
+        return state, convert.float_to_short(x), {}
+
+    def signature(self):
+        return ("to_short",)
+
+
+# ------------------------------------------------------- block size helper --
+def _flatten(stage) -> list:
+    if isinstance(stage, Chain):
+        out = []
+        for w in stage.workers:
+            out.extend(_flatten(w))
+        return out
+    return [stage]
+
+
+def plan_block_size(stages_or_chain, in_spec: StreamSpec, target_seconds: float) -> int:
+    """Smallest block ≈ target_seconds·rate satisfying every stage's
+    divisibility, walking cumulative ratios with exact rational arithmetic.
+
+    For a stage at cumulative ratio r requiring its input divisible by d:
+    block·r ≡ 0 (mod d) ⇔ block is a multiple of denominator(r/d).
+    """
+    if isinstance(stages_or_chain, Chain):
+        stages = _flatten(stages_or_chain)
+    else:
+        stages = [s for w in stages_or_chain for s in _flatten(w)]
+    req = 1
+    r = Fraction(1)
+    spec = in_spec
+    for s in stages:
+        d = s.divisor(spec)
+        den = (r / d).denominator
+        req = req * den // gcd(req, den)
+        r *= s.ratio(spec)
+        spec = s._out_spec(spec)
+    want = max(1, int(round(in_spec.rate * target_seconds)))
+    return ((want + req - 1) // req) * req

@@ -1,0 +1,142 @@
+"""IMA ADPCM codec (audio + waterfall compression).
+
+Reference analogs: ``pycsdr.modules.AdpcmEncoder(sync=True)`` for client
+audio (reference ``csdr/chain/clientaudio.py:34``) and ``FftAdpcm`` for
+waterfall rows (``csdr/chain/fft.py:44``; client pads 10 samples,
+``htdocs/openwebrx.js:845`` COMPRESS_FFT_PAD_N).  The wire format matches
+the reference browser decoder (``htdocs/lib/AudioEngine.js:410-495``):
+"SYNC" + int16le stepIndex + int16le predictor, then ADPCM bytes (two
+4-bit nibbles per byte, low nibble first).
+
+The codec is a per-sample nonlinear recurrence, but audio rates are tiny
+(12 kHz), so a ``lax.scan`` over sample pairs vectorized across all
+channels is cheap on TPU.  The scan also emits per-byte codec state so the
+host can cut sync frames at arbitrary byte boundaries without re-encoding.
+A numpy reference implementation lives in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+
+
+def adpcm_init(batch_shape=()):
+    return (jnp.zeros(batch_shape, jnp.int32),   # predictor
+            jnp.zeros(batch_shape, jnp.int32))   # step index
+
+
+def _encode_nibble(carry, sample):
+    """One IMA ADPCM encode step.  carry=(predictor, index), sample int32."""
+    predictor, index = carry
+    step = jnp.take(jnp.asarray(IMA_STEP_TABLE), index)
+    diff = sample - predictor
+    sign = (diff < 0).astype(jnp.int32)
+    diff = jnp.abs(diff)
+    nib = jnp.zeros_like(index)
+    delta = step >> 3
+    nib, diff, delta = _bit(nib, diff, delta, step, 4)
+    step2 = step >> 1
+    nib, diff, delta = _bit(nib, diff, delta, step2, 2)
+    step4 = step >> 2
+    nib, diff, delta = _bit(nib, diff, delta, step4, 1)
+    delta = jnp.where(sign == 1, -delta, delta)
+    predictor = jnp.clip(predictor + delta, -32768, 32767)
+    nib = nib | (sign << 3)
+    index = jnp.clip(index + jnp.take(jnp.asarray(IMA_INDEX_TABLE), nib), 0, 88)
+    return (predictor, index), nib
+
+
+def _bit(nib, diff, delta, stepval, bit):
+    take = diff >= stepval
+    nib = jnp.where(take, nib | bit, nib)
+    diff = jnp.where(take, diff - stepval, diff)
+    delta = jnp.where(take, delta + stepval, delta)
+    return nib, diff, delta
+
+
+def adpcm_encode(state, samples: jnp.ndarray):
+    """Encode int16-range samples (..., 2N) → bytes (..., N) uint8.
+
+    Also returns per-byte codec state (predictor, index) AFTER each byte,
+    shape (..., N) each, so the host can snapshot state at sync boundaries.
+    """
+    x = jnp.moveaxis(samples.astype(jnp.int32), -1, 0)  # (2N, ...)
+    pairs = x.reshape(x.shape[0] // 2, 2, *x.shape[1:])
+
+    def step(carry, pair):
+        carry, lo = _encode_nibble(carry, pair[0])
+        carry, hi = _encode_nibble(carry, pair[1])
+        byte = (lo | (hi << 4)).astype(jnp.uint8)
+        return carry, (byte, carry[0], carry[1])
+
+    state, (bytes_, preds, idxs) = jax.lax.scan(step, state, pairs)
+    out = tuple(jnp.moveaxis(a, 0, -1) for a in (bytes_, preds, idxs))
+    return state, out
+
+
+def adpcm_decode_np(data: bytes, state=(0, 0)):
+    """Numpy reference decoder (host-side; used in tests and for the FFT
+    decompressor parity checks).  Mirrors the browser decodeNibble."""
+    predictor, index = state
+    out = np.empty(len(data) * 2, np.int16)
+    for i, byte in enumerate(data):
+        for k, nib in enumerate((byte & 0x0F, byte >> 4)):
+            step = IMA_STEP_TABLE[index]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            if nib & 8:
+                diff = -diff
+            predictor = int(np.clip(predictor + diff, -32768, 32767))
+            index = int(np.clip(index + IMA_INDEX_TABLE[nib], 0, 88))
+            out[i * 2 + k] = predictor
+    return out, (predictor, index)
+
+
+SYNC_INTERVAL = 1001  # data bytes per sync frame (see AudioEngine.js:449-487)
+
+
+class SyncFramer:
+    """Host-side sync framing: splice "SYNC"+state headers into the encoded
+    byte stream every SYNC_INTERVAL bytes, reseeding the decoder."""
+
+    def __init__(self):
+        self.since_sync = SYNC_INTERVAL  # ⇒ emit a sync header immediately
+        self._last = (0, 0)              # codec state at end of previous call
+
+    def frame(self, bytes_: np.ndarray, preds: np.ndarray, idxs: np.ndarray) -> bytes:
+        out = bytearray()
+        n = len(bytes_)
+        pos = 0
+        while pos < n:
+            if self.since_sync >= SYNC_INTERVAL:
+                # codec state just BEFORE byte pos
+                pred, idx = self._last if pos == 0 else (int(preds[pos - 1]), int(idxs[pos - 1]))
+                out += b"SYNC" + np.array([idx, pred], "<i2").tobytes()
+                self.since_sync = 0
+            take = min(n - pos, SYNC_INTERVAL - self.since_sync)
+            out += bytes(bytes_[pos:pos + take])
+            pos += take
+            self.since_sync += take
+        if n:
+            self._last = (int(preds[-1]), int(idxs[-1]))
+        return bytes(out)
