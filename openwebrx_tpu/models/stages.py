@@ -55,18 +55,19 @@ class OpStage(Stage):
 class ShiftStage(OpStage):
     """NCO mixer (reference Shift, csdr/chain/selector.py:95)."""
 
-    def __init__(self, rate: float = 0.0, name: str = "shift"):
+    def __init__(self, rate=0.0, name: str = "shift"):
         self.name = name
-        self._rate = float(rate)
+        self._rate = rate
 
-    def set_rate(self, rate: float):
-        self._rate = float(rate)
+    def set_rate(self, rate):
+        """Scalar or per-channel array of normalized rates."""
+        self._rate = rate
 
     def init_state(self, batch_shape=()):
         return nco.shift_init(batch_shape)
 
     def params(self):
-        return jnp.float32(self._rate)
+        return jnp.asarray(self._rate, jnp.float32)
 
     def apply(self, state, params, x):
         state, y = nco.shift_apply(state, params, x)
@@ -199,12 +200,13 @@ class SquelchStage(OpStage):
 
     MEASUREMENTS_PER_S = 16
 
-    def __init__(self, level_db: float = -150.0, name: str = "squelch"):
+    def __init__(self, level_db=-150.0, name: str = "squelch"):
         self.name = name
-        self._level = float(level_db)
+        self._level = level_db
 
-    def set_level(self, level_db: float):
-        self._level = float(level_db)
+    def set_level(self, level_db):
+        """Scalar or per-channel array of thresholds (dB)."""
+        self._level = level_db
 
     def plan(self, in_spec, block):
         self.window = max(1, int(round(in_spec.rate / self.MEASUREMENTS_PER_S)))
@@ -217,7 +219,7 @@ class SquelchStage(OpStage):
         return squelch.squelch_init(batch_shape)
 
     def params(self):
-        return jnp.float32(self._level)
+        return jnp.asarray(self._level, jnp.float32)
 
     def apply(self, state, params, x):
         state, y, power_db = squelch.squelch_apply(state, params, x, self.window)

@@ -38,12 +38,18 @@ def bandpass_apply(tail: jnp.ndarray, response: jnp.ndarray, x: jnp.ndarray,
     filtering with a constant (ntaps−1)-sample group delay, exactly like the
     streaming time-domain convolution (verified in tests vs scipy).
     """
+    import jax
+
     b = x.shape[-1]
     xe = jnp.concatenate([tail, x], axis=-1)          # (..., T−1+B)
     new_tail = xe[..., -(ntaps - 1):] if ntaps > 1 else tail
     pad = nfft - xe.shape[-1]
-    xf = jnp.fft.fft(jnp.pad(xe, [(0, 0)] * (xe.ndim - 1) + [(0, pad)]), axis=-1)
-    yf = xf * response
+    xp = jnp.pad(xe, [(0, 0)] * (xe.ndim - 1) + [(0, pad)])
+    # barrier: upstream convs (NCW layouts) can otherwise propagate a
+    # non-major layout into the XLA:CPU FFT thunk, which RET_CHECKs on it
+    xp = jax.lax.optimization_barrier(xp)
+    xf = jnp.fft.fft(xp, axis=-1)
+    yf = jax.lax.optimization_barrier(xf * response)
     y = jnp.fft.ifft(yf, axis=-1)
     # valid region: convolution outputs (ntaps−1) .. (ntaps−1+B)
     y = y[..., ntaps - 1: ntaps - 1 + b]

@@ -1,0 +1,92 @@
+"""ChannelBank: N listener channels demodulated as ONE batched program.
+
+This is the core TPU replacement for the reference's per-client thread
+graphs (reference ``owrx/dsp.py:502-512``: every connected user owns a full
+Selector→Demod→Audio chain of C++ threads; SURVEY §2.6).  All channels of a
+device that share a chain structure become leading batch dimensions of one
+jitted block step; per-channel tuning (offset, squelch, passband) are
+traced parameter ARRAYS, so adding/retuning listeners never recompiles —
+only growing beyond capacity does (capacity doubles, amortized).
+
+Inactive slots are masked: their offsets park at 0 Hz and their outputs are
+ignored by the host; compute cost of a slot is identical either way, which
+is the TPU trade (lockstep batch) the design embraces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from openwebrx_tpu.models.receiver import ClientDemodulatorChain, MODE_BANDPASS
+from openwebrx_tpu.models.stages import plan_block_size
+from openwebrx_tpu.ops.formats import Format, StreamSpec
+from openwebrx_tpu.runtime.chain import Program
+
+
+class ChannelBank:
+    """A bank of identical-mode channels (one bucket of the engine).
+
+    Mixed-mode receivers use one ChannelBank per mode (bucketed compile
+    cache); each bank reads the same device IQ block.
+    """
+
+    def __init__(self, in_rate: float, mode: str = "nfm", capacity: int = 16,
+                 audio_rate: float = 12000.0, compression: str = "adpcm",
+                 target_seconds: float = 0.1):
+        self.in_rate = float(in_rate)
+        self.mode = mode
+        self.capacity = int(capacity)
+        self.chain = ClientDemodulatorChain(in_rate, audio_rate, mode, compression)
+        self._offsets = np.zeros(capacity, np.float32)
+        self._squelch = np.full(capacity, -150.0, np.float32)
+        self._active = np.zeros(capacity, bool)
+        spec = StreamSpec(Format.COMPLEX_FLOAT, in_rate)
+        self.block = plan_block_size(self.chain, spec, target_seconds)
+        self.program = Program(self.chain, spec, self.block,
+                               batch_shape=(capacity,))
+        self._push_params()
+
+    # ------------------------------------------------------------- slots --
+    def add_channel(self, offset_hz: float, squelch_db: float = -150.0) -> int:
+        free = np.flatnonzero(~self._active)
+        if len(free) == 0:
+            raise RuntimeError("bank full — grow() first")
+        slot = int(free[0])
+        self._active[slot] = True
+        self._offsets[slot] = offset_hz
+        self._squelch[slot] = squelch_db
+        self._push_params()
+        return slot
+
+    def remove_channel(self, slot: int):
+        self._active[slot] = False
+        self._offsets[slot] = 0.0
+        self._squelch[slot] = -150.0
+        self._push_params()
+
+    def retune(self, slot: int, offset_hz: float):
+        self._offsets[slot] = offset_hz
+        self._push_params()
+
+    def set_squelch(self, slot: int, level_db: float):
+        self._squelch[slot] = level_db
+        self._push_params()
+
+    @property
+    def active_slots(self) -> np.ndarray:
+        return np.flatnonzero(self._active)
+
+    def _push_params(self):
+        self.chain.selector.shift.set_rate(-self._offsets / self.in_rate)
+        self.chain.selector.squelch.set_level(self._squelch)
+
+    # ------------------------------------------------------------ stream --
+    def process(self, iq_block):
+        """iq_block (block,) complex64 → (audio (capacity, out_block), aux).
+
+        The single IQ block is fanned out to all channels INSIDE the jitted
+        program (the shift stage's (C,)-shaped phase broadcasts against the
+        (B,)-shaped input), so the host transfers the block once, not C
+        times.  Host extracts only active rows from the result.
+        """
+        return self.program.process(np.asarray(iq_block))
