@@ -154,16 +154,24 @@ class BandpassStage(OpStage):
     """Live-tunable FFT bandpass (reference Bandpass use_fft=True,
     csdr/chain/selector.py:115-117; transition 320/outRate)."""
 
-    def __init__(self, low_cut_hz: float, high_cut_hz: float, name: str = "bandpass"):
+    def __init__(self, low_cut_hz=0.0, high_cut_hz=0.0, name: str = "bandpass"):
         self.name = name
-        self._low = float(low_cut_hz)
-        self._high = float(high_cut_hz)
+        self._low = np.asarray(low_cut_hz, np.float64)
+        self._high = np.asarray(high_cut_hz, np.float64)
         self._response = None
 
-    def set_bandpass(self, low_cut_hz: float, high_cut_hz: float):
-        self._low, self._high = float(low_cut_hz), float(high_cut_hz)
+    def set_bandpass(self, low_cut_hz, high_cut_hz):
+        """Scalars (shared) or per-channel arrays (each listener drags their
+        own passband; the response param becomes (C, nfft))."""
+        self._low = np.asarray(low_cut_hz, np.float64)
+        self._high = np.asarray(high_cut_hz, np.float64)
         if hasattr(self, "in_spec"):  # pre-plan: plan() will compute it
             self._recompute()
+
+    def set_slot_bandpass(self, slot: int, low_cut_hz: float, high_cut_hz: float):
+        lo, hi = np.array(self._low, copy=True), np.array(self._high, copy=True)
+        lo[slot], hi[slot] = low_cut_hz, high_cut_hz
+        self.set_bandpass(lo, hi)
 
     def plan(self, in_spec, block):
         self.transition = 320.0 / in_spec.rate
@@ -175,9 +183,14 @@ class BandpassStage(OpStage):
 
     def _recompute(self):
         rate = self.in_spec.rate
-        lo = np.clip(self._low / rate, -0.4999, 0.4999)
-        hi = np.clip(self._high / rate, lo + self.transition, 0.49999)
-        self._response = firdes.bandpass_response(lo, hi, self.transition, self.nfft)
+        lo = np.clip(np.atleast_1d(self._low) / rate, -0.4999, 0.4999)
+        hi = np.clip(np.atleast_1d(self._high) / rate,
+                     lo + self.transition, 0.49999)
+        rows = np.stack([
+            firdes.bandpass_response(float(l), float(h), self.transition, self.nfft)
+            for l, h in zip(lo, hi)
+        ])
+        self._response = rows[0] if self._low.ndim == 0 else rows
 
     def init_state(self, batch_shape=()):
         return bandpass.bandpass_init(self.ntaps, batch_shape)
@@ -404,6 +417,10 @@ class WaterfallStage(OpStage):
     """Fft → LogAveragePower → FftSwap (reference csdr/chain/fft.py:5-96).
 
     Terminal stage: output is (..., rows, fft_size) float32 dB rows.
+    Works with ANY block size (divisor 1): plan() fixes rows-per-block ≈
+    fps·block/rate and spaces the averaged frames uniformly inside the
+    block (cross-block jitter < one frame — invisible on a waterfall),
+    so waterfall framing never inflates the chain's block LCM.
     """
 
     def __init__(self, fft_size: int, fps: float, add_db: float = -70.0,
@@ -415,41 +432,33 @@ class WaterfallStage(OpStage):
         self.overlap_factor = overlap_factor
 
     def plan(self, in_spec, block):
-        self.every_n, self.averages = fftops.waterfall_params(
-            in_spec.rate, self.fft_size, self.fps, self.overlap_factor)
-        self.window = fftops.hann_window(self.fft_size)
         self.in_spec = in_spec
         self.block = block
-        rows = Fraction(block, self.every_n * self.averages)
-        if rows.denominator != 1:
-            raise ValueError(f"waterfall: block {block} not divisible by "
-                             f"{self.every_n}×{self.averages}")
-        out_rate = in_spec.rate / (self.every_n * self.averages)
-        return in_spec.with_format(Format.FLOAT).with_rate(out_rate), int(rows)
-
-    def divisor(self, in_spec):
-        every_n, averages = fftops.waterfall_params(
-            in_spec.rate, self.fft_size, self.fps, self.overlap_factor)
-        return every_n * averages
-
-    def ratio(self, in_spec):
-        return Fraction(1, self.divisor(in_spec))
+        self.rows = max(1, round(self.fps * block / in_spec.rate))
+        # average as many whole frames per row as fit (reference
+        # LogAveragePower semantics, csdr/chain/fft.py:75-85)
+        self.averages = max(1, block // (self.fft_size * self.rows))
+        nframes = self.rows * self.averages
+        stride = block // nframes
+        self.ends = ((np.arange(nframes) + 1) * stride).astype(np.int64)
+        self.window = fftops.hann_window(self.fft_size)
+        out_rate = in_spec.rate * self.rows / block
+        return in_spec.with_format(Format.FLOAT).with_rate(out_rate), self.rows
 
     def _out_spec(self, in_spec):
-        return in_spec.with_format(Format.FLOAT).with_rate(
-            in_spec.rate / self.divisor(in_spec))
+        return in_spec.with_format(Format.FLOAT)
 
     def init_state(self, batch_shape=()):
-        return fftops.fft_init(self.fft_size, self.every_n, batch_shape)
+        return fftops.fft_init(self.fft_size, self.fft_size, batch_shape)
 
     def apply(self, state, params, x):
-        state, p = fftops.fft_power(state, jnp.asarray(self.window), x,
-                                    self.fft_size, self.every_n)
+        state, p = fftops.fft_power_at(state, jnp.asarray(self.window), x,
+                                       self.fft_size, self.ends)
         rows = fftops.log_average(p, self.averages, self.add_db)
         return state, fftops.fft_swap(rows), {}
 
     def signature(self):
-        return ("waterfall", self.fft_size, self.every_n, self.averages, self.add_db)
+        return ("waterfall", self.fft_size, self.rows, self.averages, self.add_db)
 
 
 # ------------------------------------------------------------ client audio --
@@ -507,9 +516,8 @@ def _flatten(stage) -> list:
     return [stage]
 
 
-def plan_block_size(stages_or_chain, in_spec: StreamSpec, target_seconds: float) -> int:
-    """Smallest block ≈ target_seconds·rate satisfying every stage's
-    divisibility, walking cumulative ratios with exact rational arithmetic.
+def block_requirement(stages_or_chain, in_spec: StreamSpec) -> int:
+    """The divisor every block size must be a multiple of for this chain.
 
     For a stage at cumulative ratio r requiring its input divisible by d:
     block·r ≡ 0 (mod d) ⇔ block is a multiple of denominator(r/d).
@@ -527,5 +535,14 @@ def plan_block_size(stages_or_chain, in_spec: StreamSpec, target_seconds: float)
         req = req * den // gcd(req, den)
         r *= s.ratio(spec)
         spec = s._out_spec(spec)
+    return req
+
+
+def plan_block_size(stages_or_chain, in_spec: StreamSpec, target_seconds: float,
+                    extra_requirement: int = 1) -> int:
+    """Smallest block ≈ target_seconds·rate satisfying the chain's (and any
+    extra) divisibility requirements."""
+    req = block_requirement(stages_or_chain, in_spec)
+    req = req * extra_requirement // gcd(req, extra_requirement)
     want = max(1, int(round(in_spec.rate * target_seconds)))
     return ((want + req - 1) // req) * req

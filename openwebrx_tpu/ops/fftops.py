@@ -29,6 +29,29 @@ def fft_init(fft_size: int, every_n: int, batch_shape=()) -> jnp.ndarray:
     return jnp.zeros(batch_shape + (fft_size,), dtype=jnp.complex64)
 
 
+def fft_power_at(history: jnp.ndarray, window, x: jnp.ndarray,
+                 fft_size: int, ends: np.ndarray):
+    """|FFT|² frames ending at the given block offsets (host-static array).
+
+    history: (..., fft_size) carried samples preceding the block
+    ends:    (nframes,) int offsets in (0, B] — frame k covers stream
+             samples [ends[k]−fft_size, ends[k]) of the extended block
+    returns (new_history, power (..., nframes, fft_size))
+
+    Decouples waterfall framing from chain block-size constraints: ANY
+    block size works with a fixed frames-per-block (the in-block frame
+    spacing is uniform; across-block spacing jitters by <1 frame, invisible
+    on a waterfall).
+    """
+    ends = np.asarray(ends)
+    idx = ends[:, None] + np.arange(fft_size)[None, :]  # xe coords
+    xe = jnp.concatenate([history, x], axis=-1)
+    frames = jnp.take(xe, jnp.asarray(idx), axis=-1)
+    new_history = xe[..., -fft_size:]
+    spec = jnp.fft.fft(frames * window, axis=-1)
+    return new_history, spec.real**2 + spec.imag**2
+
+
 def fft_power(history: jnp.ndarray, window, x: jnp.ndarray,
               fft_size: int, every_n: int):
     """Compute frames of |FFT|² in dB over a block.

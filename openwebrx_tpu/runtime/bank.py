@@ -32,7 +32,7 @@ class ChannelBank:
 
     def __init__(self, in_rate: float, mode: str = "nfm", capacity: int = 16,
                  audio_rate: float = 12000.0, compression: str = "adpcm",
-                 target_seconds: float = 0.1):
+                 target_seconds: float = 0.1, block: int | None = None):
         self.in_rate = float(in_rate)
         self.mode = mode
         self.capacity = int(capacity)
@@ -40,8 +40,12 @@ class ChannelBank:
         self._offsets = np.zeros(capacity, np.float32)
         self._squelch = np.full(capacity, -150.0, np.float32)
         self._active = np.zeros(capacity, bool)
+        lo, hi = MODE_BANDPASS[mode]
+        self._low = np.full(capacity, float(lo))
+        self._high = np.full(capacity, float(hi))
         spec = StreamSpec(Format.COMPLEX_FLOAT, in_rate)
-        self.block = plan_block_size(self.chain, spec, target_seconds)
+        self.block = block if block is not None else plan_block_size(
+            self.chain, spec, target_seconds)
         self.program = Program(self.chain, spec, self.block,
                                batch_shape=(capacity,))
         self._push_params()
@@ -72,13 +76,24 @@ class ChannelBank:
         self._squelch[slot] = level_db
         self._push_params()
 
+    def set_bandpass(self, slot: int, low_hz: float, high_hz: float):
+        """Per-listener passband drag (reference low_cut/high_cut params)."""
+        self._low[slot] = low_hz
+        self._high[slot] = high_hz
+        self._push_params()
+
     @property
     def active_slots(self) -> np.ndarray:
         return np.flatnonzero(self._active)
 
+    @property
+    def n_active(self) -> int:
+        return int(self._active.sum())
+
     def _push_params(self):
         self.chain.selector.shift.set_rate(-self._offsets / self.in_rate)
         self.chain.selector.squelch.set_level(self._squelch)
+        self.chain.selector.set_bandpass(self._low, self._high)
 
     # ------------------------------------------------------------ stream --
     def process(self, iq_block):

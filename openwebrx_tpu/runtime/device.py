@@ -1,0 +1,241 @@
+"""DeviceRuntime: one SDR device's compute loop.
+
+The TPU-side replacement for the reference's per-device fan-out machinery
+(reference ``owrx/fft.py`` SpectrumThread + per-client ``owrx/dsp.py``
+DspManagers): ONE thread drains the source's IQ block queue, runs the
+shared waterfall program and every mode-bucketed ChannelBank, then fans
+results out to subscribers on the host.  Adding a listener = taking a bank
+slot (no recompile); a new MODE = a new bank (cached compile).
+
+Outputs delivered to subscriber callbacks (called on the runtime thread —
+subscribers must be quick / enqueue):
+  waterfall(rows_float32_db)           per waterfall subscriber
+  channel handle: audio(bytes), smeter(float_db), meta(dict)
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+
+import numpy as np
+
+from openwebrx_tpu.models.receiver import FftChain, MODE_BANDPASS
+from openwebrx_tpu.models.stages import plan_block_size
+from openwebrx_tpu.ops.adpcm import SyncFramer
+from openwebrx_tpu.ops.formats import Format, StreamSpec
+from openwebrx_tpu.runtime.bank import ChannelBank
+from openwebrx_tpu.runtime.chain import Program
+from openwebrx_tpu.sources.base import SdrSource
+
+logger = logging.getLogger(__name__)
+
+# modes sharing a chain structure share a bank (lsb/usb/cw are all SSB
+# chains; their per-channel bandpasses differ, which the bank supports)
+BANK_BUCKET = {
+    "nfm": "nfm", "am": "am", "sam": "sam", "wfm": "wfm",
+    "lsb": "ssb", "usb": "ssb", "cw": "ssb",
+}
+BUCKET_CHAIN_MODE = {"nfm": "nfm", "am": "am", "sam": "sam", "wfm": "wfm",
+                     "ssb": "usb"}
+
+
+class ChannelHandle:
+    """A listener's handle on one bank slot (the per-client control surface
+    the reference exposes through DspManager properties)."""
+
+    def __init__(self, runtime: "DeviceRuntime", mode: str, slot: int):
+        self.runtime = runtime
+        self.mode = mode
+        self.slot = slot
+        self.framer = SyncFramer()
+        self.audio_cb = None
+        self.smeter_cb = None
+        self._smeter_decim = 0
+
+    # -- controls ---------------------------------------------------------
+    def set_offset(self, offset_hz: float):
+        self.runtime.banks[BANK_BUCKET[self.mode]].retune(self.slot, offset_hz)
+
+    def set_squelch(self, level_db: float):
+        self.runtime.banks[BANK_BUCKET[self.mode]].set_squelch(self.slot, level_db)
+
+    def set_bandpass(self, low_hz: float, high_hz: float):
+        self.runtime.banks[BANK_BUCKET[self.mode]].set_bandpass(
+            self.slot, low_hz, high_hz)
+
+    def set_mode(self, mode: str, offset_hz: float | None = None):
+        """Mode switch = move to another bank (reference: chain surgery)."""
+        self.runtime.switch_mode(self, mode, offset_hz)
+
+    def close(self):
+        self.runtime.release_channel(self)
+
+
+class DeviceRuntime:
+    def __init__(self, source: SdrSource, fft_size: int = 4096, fft_fps: float = 9.0,
+                 audio_rate: float = 12000.0, compression: str = "adpcm",
+                 capacity: int = 16, target_seconds: float = 0.1):
+        self.source = source
+        self.audio_rate = audio_rate
+        self.compression = compression
+        self.capacity = capacity
+        self.target_seconds = target_seconds
+        self.in_rate = source.get_sample_rate()
+        self.banks: dict[str, ChannelBank] = {}
+        self.handles: list[ChannelHandle] = []
+        self.waterfall_subscribers: list = []
+        self._lock = threading.RLock()
+        self._running = False
+        self._thread: threading.Thread | None = None
+
+        # ONE device block must satisfy every mode bucket's chain (plus the
+        # waterfall, which accepts any block): lcm of all bucket
+        # requirements at this rate
+        from math import gcd
+        from openwebrx_tpu.models.receiver import ClientDemodulatorChain
+        from openwebrx_tpu.models.stages import block_requirement
+        spec = StreamSpec(Format.COMPLEX_FLOAT, self.in_rate)
+        req = 1
+        for bucket_mode in set(BUCKET_CHAIN_MODE.values()):
+            proto = ClientDemodulatorChain(self.in_rate, audio_rate,
+                                           bucket_mode, compression)
+            r = block_requirement(proto, spec)
+            req = req * r // gcd(req, r)
+        want = max(1, int(round(self.in_rate * target_seconds)))
+        self.block = ((want + req - 1) // req) * req
+
+        self.fft_chain = FftChain(fft_size, fft_fps)
+        self.fft_program = Program(self.fft_chain, spec, self.block)
+        source.block_size = self.block
+
+    # -- channels ---------------------------------------------------------
+    def _get_bank(self, bucket: str) -> ChannelBank:
+        with self._lock:
+            bank = self.banks.get(bucket)
+            if bank is None:
+                bank = ChannelBank(self.in_rate, BUCKET_CHAIN_MODE[bucket],
+                                   capacity=self.capacity,
+                                   audio_rate=self.audio_rate,
+                                   compression=self.compression,
+                                   block=self.block)
+                self.banks[bucket] = bank
+            return bank
+
+    def open_channel(self, mode: str, offset_hz: float = 0.0) -> ChannelHandle:
+        bucket = BANK_BUCKET[mode]
+        bank = self._get_bank(bucket)
+        slot = bank.add_channel(offset_hz)
+        lo, hi = MODE_BANDPASS[mode]
+        bank.set_bandpass(slot, lo, hi)
+        handle = ChannelHandle(self, mode, slot)
+        with self._lock:
+            self.handles.append(handle)
+        return handle
+
+    def release_channel(self, handle: ChannelHandle):
+        with self._lock:
+            if handle in self.handles:
+                self.handles.remove(handle)
+                self.banks[BANK_BUCKET[handle.mode]].remove_channel(handle.slot)
+
+    def switch_mode(self, handle: ChannelHandle, mode: str,
+                    offset_hz: float | None = None):
+        old_bucket = BANK_BUCKET[handle.mode]
+        new_bucket = BANK_BUCKET[mode]
+        with self._lock:
+            bank = self.banks[old_bucket]
+            offset = offset_hz if offset_hz is not None else float(
+                bank._offsets[handle.slot])
+            if new_bucket == old_bucket:
+                handle.mode = mode
+                lo, hi = MODE_BANDPASS[mode]
+                bank.set_bandpass(handle.slot, lo, hi)
+                return
+            bank.remove_channel(handle.slot)
+            new_bank = self._get_bank(new_bucket)
+            handle.slot = new_bank.add_channel(offset)
+            handle.mode = mode
+            lo, hi = MODE_BANDPASS[mode]
+            new_bank.set_bandpass(handle.slot, lo, hi)
+            handle.framer = SyncFramer()
+
+    # -- waterfall --------------------------------------------------------
+    def subscribe_waterfall(self, cb):
+        with self._lock:
+            self.waterfall_subscribers.append(cb)
+
+    def unsubscribe_waterfall(self, cb):
+        with self._lock:
+            if cb in self.waterfall_subscribers:
+                self.waterfall_subscribers.remove(cb)
+
+    # -- loop -------------------------------------------------------------
+    def start(self):
+        with self._lock:
+            if self._running:
+                return
+            self._running = True
+            self.source.start()
+            self._thread = threading.Thread(target=self._loop,
+                                            name=f"device-{self.source.id}",
+                                            daemon=True)
+            self._thread.start()
+
+    def stop(self):
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def _loop(self):
+        while self._running:
+            block = self.source.read_block(timeout=1.0)
+            if block is None:
+                continue
+            try:
+                self._process_block(block)
+            except Exception:
+                logger.exception("device %s block processing failed", self.source.id)
+
+    def _process_block(self, block: np.ndarray):
+        # waterfall (shared per device, reference owrx/fft.py)
+        if self.waterfall_subscribers:
+            rows, _ = self.fft_program.process(block)
+            rows_np = np.asarray(rows)
+            for cb in list(self.waterfall_subscribers):
+                for row in rows_np:
+                    cb(row)
+        # demod banks
+        with self._lock:
+            banks = {k: b for k, b in self.banks.items() if b.n_active}
+            handles = list(self.handles)
+        outputs = {}
+        for bucket, bank in banks.items():
+            outputs[bucket] = bank.process(block)
+        for handle in handles:
+            out = outputs.get(BANK_BUCKET[handle.mode])
+            if out is None:
+                continue
+            y, aux = out
+            if handle.audio_cb is not None:
+                if self.compression == "adpcm":
+                    b, p, i = (np.asarray(a[handle.slot]) for a in y)
+                    wire = handle.framer.frame(b, p, i)
+                else:
+                    wire = np.asarray(y[handle.slot]).tobytes()
+                handle.audio_cb(wire)
+            if handle.smeter_cb is not None:
+                for key in aux:
+                    if key.endswith("power_db"):
+                        power = np.asarray(aux[key][handle.slot])
+                        # 4 reports/s from 16 measurements/s (reference
+                        # csdr/chain/selector.py:104-105)
+                        self._emit_smeter(handle, power)
+                        break
+
+    def _emit_smeter(self, handle, power: np.ndarray):
+        for i, v in enumerate(power):
+            handle._smeter_decim += 1
+            if handle._smeter_decim % 4 == 0:
+                handle.smeter_cb(float(v))

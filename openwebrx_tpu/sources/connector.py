@@ -1,0 +1,119 @@
+"""Connector-protocol source: external driver process + TCP IQ + control.
+
+Speaks the owrx_connector protocol the reference devices use (reference
+``owrx/source/connector.py:18-78`` and SURVEY §2.3-B): the driver serves
+float32 IQ on one TCP port and accepts ``prop:value\\n`` control messages
+(center_freq, rf_gain, ppm, …) on a second port, so retuning never
+restarts the driver.  This class can either spawn the driver itself
+(command template from the device description) or attach to an already
+running one (rtl_tcp style).
+"""
+
+from __future__ import annotations
+
+import logging
+import shlex
+import socket
+import subprocess
+import time
+
+import numpy as np
+
+from openwebrx_tpu.sources.base import SdrSource, SdrSourceState
+
+logger = logging.getLogger(__name__)
+
+CONTROL_PROPS = ("center_freq", "rf_gain", "ppm", "if_gain", "bb_gain",
+                 "antenna", "bias_tee", "direct_sampling")
+
+
+class ConnectorSource(SdrSource):
+    """props: command (template), host, port, control_port, samp_rate, …"""
+
+    def __init__(self, source_id, props):
+        super().__init__(source_id, props)
+        self._process: subprocess.Popen | None = None
+        self._control: socket.socket | None = None
+        # live retune: forward property changes to the control socket
+        # (reference ConnectorSource.onPropertyChange, connector.py:37-56)
+        self.props.subscribe(self._forward_control)
+
+    # -- control channel --------------------------------------------------
+    def _forward_control(self, changes: dict):
+        if self._control is None:
+            return
+        payload = "".join(f"{k}:{v}\n" for k, v in changes.items()
+                          if k in CONTROL_PROPS)
+        if not payload:
+            return
+        try:
+            self._control.sendall(payload.encode())
+        except OSError:
+            logger.warning("control send failed for %s", self.id)
+
+    def set_center_freq(self, freq: float):
+        self.props["center_freq"] = freq
+
+    # -- streaming --------------------------------------------------------
+    def _spawn_driver(self):
+        template = self.props.get("command")
+        if not template:
+            return
+        cmd = template.format(**{k: self.props.get(k, "") for k in
+                                 ("port", "control_port", "center_freq",
+                                  "samp_rate", "rf_gain", "ppm", "device")})
+        logger.info("starting driver: %s", cmd)
+        self._process = subprocess.Popen(shlex.split(cmd))
+
+    def _connect(self, port, retries=40, interval=0.25) -> socket.socket:
+        host = self.props.get("host", "127.0.0.1")
+        last = None
+        for _ in range(retries):
+            if self._stop_requested:
+                raise InterruptedError
+            try:
+                return socket.create_connection((host, int(port)), timeout=2)
+            except OSError as e:
+                last = e
+                time.sleep(interval)
+        raise ConnectionError(f"driver port {port} never came up: {last}")
+
+    def _run_stream(self):
+        self._spawn_driver()
+        try:
+            data_sock = self._connect(self.props.get("port", 4950))
+            ctrl_port = self.props.get("control_port")
+            if ctrl_port:
+                self._control = self._connect(ctrl_port)
+            buf = bytearray()
+            want = self.block_size * 8  # complex64
+            data_sock.settimeout(2.0)
+            while not self._stop_requested:
+                try:
+                    chunk = data_sock.recv(1 << 18)
+                except socket.timeout:
+                    continue
+                if not chunk:
+                    raise ConnectionError("driver closed IQ stream")
+                buf += chunk
+                while len(buf) >= want:
+                    block = np.frombuffer(bytes(buf[:want]), dtype=np.complex64)
+                    del buf[:want]
+                    self._deliver(block)
+        finally:
+            self._teardown()
+
+    def _teardown(self):
+        if self._control is not None:
+            try:
+                self._control.close()
+            except OSError:
+                pass
+            self._control = None
+        if self._process is not None:
+            self._process.terminate()
+            try:
+                self._process.wait(timeout=3)
+            except subprocess.TimeoutExpired:
+                self._process.kill()
+            self._process = None
