@@ -1,0 +1,378 @@
+/* OpenWebRX-TPU browser receiver.
+ * Speaks the OpenWebRX wire protocol: "SERVER DE CLIENT" handshake, typed
+ * JSON down-messages, binary 0x01 FFT / 0x02 ADPCM audio frames.
+ */
+"use strict";
+
+/* ------------------------------------------------ IMA ADPCM decoder --- */
+const IMA_INDEX = [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8];
+const IMA_STEP = [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+  50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,
+  337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,
+  1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
+  6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,
+  22385,24623,27086,29794,32767];
+
+class AdpcmCodec {
+  constructor() { this.reset(); }
+  reset() { this.pred = 0; this.idx = 0; }
+  nibble(n) {
+    const step = IMA_STEP[this.idx];
+    let diff = step >> 3;
+    if (n & 1) diff += step >> 2;
+    if (n & 2) diff += step >> 1;
+    if (n & 4) diff += step;
+    if (n & 8) diff = -diff;
+    this.pred = Math.max(-32768, Math.min(32767, this.pred + diff));
+    this.idx = Math.max(0, Math.min(88, this.idx + IMA_INDEX[n]));
+    return this.pred;
+  }
+  decode(bytes) {
+    const out = new Int16Array(bytes.length * 2);
+    for (let i = 0; i < bytes.length; i++) {
+      out[2*i] = this.nibble(bytes[i] & 0x0f);
+      out[2*i+1] = this.nibble(bytes[i] >> 4);
+    }
+    return out;
+  }
+}
+
+/* Streaming audio decoder with SYNC-frame resynchronisation. */
+class SyncAudioDecoder {
+  constructor() { this.codec = new AdpcmCodec(); this.phase = 0;
+                  this.matched = 0; this.syncBuf = []; this.counter = 0; }
+  decode(bytes) {
+    const out = [];
+    for (const b of bytes) {
+      if (this.phase === 0) {
+        this.matched = (b === "SYNC".charCodeAt(this.matched)) ? this.matched+1 : 0;
+        if (this.matched === 4) { this.syncBuf = []; this.phase = 1; this.matched = 0; }
+      } else if (this.phase === 1) {
+        this.syncBuf.push(b);
+        if (this.syncBuf.length === 4) {
+          const dv = new DataView(new Uint8Array(this.syncBuf).buffer);
+          this.codec.idx = dv.getInt16(0, true);
+          this.codec.pred = dv.getInt16(2, true);
+          this.counter = 1000; this.phase = 2;
+        }
+      } else {
+        out.push(this.codec.nibble(b & 0x0f), this.codec.nibble(b >> 4));
+        if (this.counter-- === 0) this.phase = 0;
+      }
+    }
+    return Int16Array.from(out);
+  }
+}
+
+/* ------------------------------------------------------- audio engine --- */
+class AudioEngine {
+  constructor() {
+    this.ctx = null; this.rate = 12000; this.buffer = new Float32Array(0);
+    this.decoder = new SyncAudioDecoder(); this.volume = 0.7; this.started = false;
+  }
+  start() {
+    if (this.started) return;
+    this.ctx = new (window.AudioContext || window.webkitAudioContext)();
+    const node = this.ctx.createScriptProcessor(4096, 0, 1);
+    node.onaudioprocess = (e) => this.pull(e.outputBuffer.getChannelData(0));
+    node.connect(this.ctx.destination);
+    this.node = node; this.started = true;
+  }
+  push(bytes) {
+    if (!this.started) return;
+    const pcm = this.decoder.decode(bytes);
+    const ratio = this.ctx.sampleRate / this.rate;
+    const n = Math.floor(pcm.length * ratio);
+    const res = new Float32Array(n);
+    for (let i = 0; i < n; i++) {
+      const pos = i / ratio;
+      const i0 = Math.floor(pos), frac = pos - i0;
+      const a = pcm[Math.min(i0, pcm.length-1)] / 32768;
+      const b = pcm[Math.min(i0+1, pcm.length-1)] / 32768;
+      res[i] = (a + (b - a) * frac) * this.volume;
+    }
+    const merged = new Float32Array(this.buffer.length + res.length);
+    merged.set(this.buffer); merged.set(res, this.buffer.length);
+    /* cap buffered audio at ~1s to bound latency */
+    this.buffer = merged.length > this.ctx.sampleRate ?
+      merged.subarray(merged.length - this.ctx.sampleRate) : merged;
+  }
+  pull(out) {
+    const n = Math.min(out.length, this.buffer.length);
+    out.set(this.buffer.subarray(0, n));
+    out.fill(0, n);
+    this.buffer = this.buffer.subarray(n);
+  }
+}
+
+/* ---------------------------------------------------------- waterfall --- */
+class Waterfall {
+  constructor(canvas, scaleCanvas) {
+    this.canvas = canvas; this.ctx = canvas.getContext("2d");
+    this.scale = scaleCanvas; this.sctx = scaleCanvas.getContext("2d");
+    this.fftSize = 4096; this.min = -88; this.max = -20;
+    this.zoom = 1; this.center = 0.5;  // view center in [0,1] of full span
+    this.colormap = this.buildColormap();
+    this.resize();
+    window.addEventListener("resize", () => this.resize());
+  }
+  resize() {
+    this.canvas.width = this.canvas.clientWidth;
+    this.canvas.height = this.canvas.clientHeight;
+    this.scale.width = this.scale.clientWidth;
+    this.img = this.ctx.createImageData(this.canvas.width, 1);
+  }
+  buildColormap() {
+    /* simple turbo-like gradient */
+    const stops = [[48,18,59],[62,120,222],[34,205,190],[134,240,80],
+                   [249,213,51],[244,105,34],[122,4,3]];
+    const map = new Uint8ClampedArray(256 * 3);
+    for (let i = 0; i < 256; i++) {
+      const t = i / 255 * (stops.length - 1);
+      const j = Math.min(Math.floor(t), stops.length - 2), f = t - j;
+      for (let c = 0; c < 3; c++)
+        map[i*3+c] = stops[j][c] + (stops[j+1][c] - stops[j][c]) * f;
+    }
+    return map;
+  }
+  viewRange() {
+    const span = 1 / this.zoom;
+    let lo = this.center - span / 2;
+    lo = Math.max(0, Math.min(1 - span, lo));
+    return [lo, lo + span];
+  }
+  addRow(row) {
+    const w = this.canvas.width;
+    /* scroll down by 1px */
+    this.ctx.drawImage(this.canvas, 0, 0, w, this.canvas.height - 1,
+                       0, 1, w, this.canvas.height - 1);
+    const [lo, hi] = this.viewRange();
+    const data = this.img.data;
+    for (let x = 0; x < w; x++) {
+      const bin = Math.floor((lo + (hi - lo) * x / w) * row.length);
+      const v = row[Math.max(0, Math.min(row.length - 1, bin))];
+      let t = Math.round((v - this.min) / (this.max - this.min) * 255);
+      t = Math.max(0, Math.min(255, t));
+      data[x*4] = this.colormap[t*3];
+      data[x*4+1] = this.colormap[t*3+1];
+      data[x*4+2] = this.colormap[t*3+2];
+      data[x*4+3] = 255;
+    }
+    this.ctx.putImageData(this.img, 0, 0);
+  }
+  /* auto level from percentiles of the latest row */
+  autoLevel(row) {
+    const sorted = Float32Array.from(row).sort();
+    this.min = sorted[Math.floor(sorted.length * 0.2)] - 5;
+    this.max = sorted[sorted.length - 1] + 15;
+  }
+  drawScale(centerFreq, sampRate) {
+    const w = this.scale.width, ctx = this.sctx;
+    ctx.fillStyle = "#0c0f12"; ctx.fillRect(0, 0, w, 24);
+    ctx.fillStyle = "#8a97a5"; ctx.font = "10px sans-serif";
+    ctx.strokeStyle = "#39434d";
+    const [lo, hi] = this.viewRange();
+    const fLo = centerFreq + (lo - 0.5) * sampRate;
+    const fHi = centerFreq + (hi - 0.5) * sampRate;
+    const span = fHi - fLo;
+    const step = Math.pow(10, Math.floor(Math.log10(span / 8)));
+    const first = Math.ceil(fLo / step) * step;
+    for (let f = first; f < fHi; f += step) {
+      const x = (f - fLo) / span * w;
+      ctx.beginPath(); ctx.moveTo(x, 14); ctx.lineTo(x, 24); ctx.stroke();
+      ctx.fillText((f / 1e6).toFixed(3), x + 2, 11);
+    }
+  }
+}
+
+/* -------------------------------------------------------------- app ----- */
+const app = {
+  ws: null, config: {}, modes: [], mode: "nfm", offset: 0,
+  audio: new AudioEngine(), rxName: document.getElementById("receiver-name"),
+  waterfall: new Waterfall(document.getElementById("waterfall"),
+                           document.getElementById("scale")),
+  fftCodec: new AdpcmCodec(), autoLeveled: 0, dspStarted: false,
+};
+
+function log(msg) {
+  const el = document.getElementById("log");
+  el.textContent += msg + "\n";
+  el.scrollTop = el.scrollHeight;
+}
+
+function connect() {
+  const proto = location.protocol === "https:" ? "wss" : "ws";
+  const ws = new WebSocket(`${proto}://${location.host}/ws/`);
+  ws.binaryType = "arraybuffer";
+  app.ws = ws;
+  ws.onopen = () => {};
+  ws.onclose = () => { log("disconnected, retrying in 3s"); setTimeout(connect, 3000); };
+  ws.onmessage = onMessage;
+}
+
+function send(obj) { if (app.ws && app.ws.readyState === 1) app.ws.send(JSON.stringify(obj)); }
+
+function onMessage(evt) {
+  if (typeof evt.data === "string") {
+    if (evt.data.startsWith("CLIENT DE SERVER")) {
+      app.ws.send("SERVER DE CLIENT client=openwebrx-tpu.js type=receiver");
+      send({type: "dspcontrol", action: "start"});
+      return;
+    }
+    const msg = JSON.parse(evt.data);
+    handleJson(msg);
+    return;
+  }
+  const data = new Uint8Array(evt.data);
+  const type = data[0], payload = data.subarray(1);
+  if (type === 1) {
+    let row;
+    if (app.config.fft_compression === "adpcm") {
+      app.fftCodec.reset();
+      const i16 = app.fftCodec.decode(payload);
+      row = new Float32Array(i16.length - 10);
+      for (let i = 0; i < row.length; i++) row[i] = i16[i + 10] / 100;
+    } else {
+      row = new Float32Array(payload.slice().buffer);
+    }
+    if (app.autoLeveled++ % 50 === 0) app.waterfall.autoLevel(row);
+    app.waterfall.addRow(row);
+  } else if (type === 2) {
+    app.audio.push(payload);
+  }
+}
+
+function handleJson(msg) {
+  switch (msg.type) {
+    case "receiver_details":
+      app.rxName.textContent = `${msg.value.receiver_name || ""} — ${msg.value.receiver_location || ""}`;
+      break;
+    case "config": {
+      Object.assign(app.config, msg.value);
+      if (msg.value.start_mod) setMode(msg.value.start_mod, true);
+      if (msg.value.start_offset_freq !== undefined) app.offset = msg.value.start_offset_freq;
+      updateFreq(); drawScale();
+      break;
+    }
+    case "modes":
+      app.modes = msg.value;
+      renderModes();
+      break;
+    case "profiles": {
+      const sel = document.getElementById("profiles");
+      sel.innerHTML = "";
+      for (const p of msg.value) {
+        const o = document.createElement("option");
+        o.value = p.id; o.textContent = p.name; sel.appendChild(o);
+      }
+      break;
+    }
+    case "smeter": {
+      const db = msg.value;
+      document.getElementById("smeter-db").textContent = `${db.toFixed(1)} dB`;
+      const pct = Math.max(0, Math.min(100, (db + 120) / 120 * 100));
+      document.getElementById("smeter").style.width = pct + "%";
+      break;
+    }
+    case "log_message": log(msg.value); break;
+    case "sdr_error": log("SDR error: " + msg.value); break;
+    case "demodulator_error": log(msg.value); break;
+  }
+}
+
+/* ------------------------------------------------------------ controls --- */
+function renderModes() {
+  const el = document.getElementById("modes");
+  el.innerHTML = "";
+  for (const m of app.modes.filter(m => m.type === "analog" && !m.service)) {
+    const b = document.createElement("button");
+    b.textContent = m.name; b.dataset.mod = m.modulation;
+    if (m.modulation === app.mode) b.classList.add("active");
+    b.onclick = () => setMode(m.modulation);
+    el.appendChild(b);
+  }
+}
+
+function setMode(mod, noSend) {
+  app.mode = mod;
+  for (const b of document.querySelectorAll("#modes button"))
+    b.classList.toggle("active", b.dataset.mod === mod);
+  const m = app.modes.find(x => x.modulation === mod);
+  const params = {mod: mod};
+  if (m && m.bandpass) { params.low_cut = m.bandpass.low_cut; params.high_cut = m.bandpass.high_cut; }
+  if (!noSend) send({type: "dspcontrol", params});
+  drawPassband();
+}
+
+function updateFreq() {
+  const f = (app.config.center_freq || 0) + app.offset;
+  document.getElementById("freq").textContent = (f / 1e6).toFixed(5) + " MHz";
+  drawPassband();
+}
+
+function tune(offset) {
+  const step = parseFloat(app.config.tuning_step || 1);
+  if (step > 0) {
+    const center = app.config.center_freq || 0;
+    offset = Math.round((center + offset) / step) * step - center;
+  }
+  app.offset = offset;
+  send({type: "dspcontrol", params: {offset_freq: offset}});
+  updateFreq();
+}
+
+function drawScale() {
+  app.waterfall.drawScale(app.config.center_freq || 0, app.config.samp_rate || 1);
+}
+
+function drawPassband() {
+  const pb = document.getElementById("passband");
+  const sr = app.config.samp_rate || 1;
+  const [lo, hi] = app.waterfall.viewRange();
+  const frac = (app.offset / sr + 0.5 - lo) / (hi - lo);
+  const m = app.modes.find(x => x.modulation === app.mode);
+  const bw = m && m.bandpass ? (m.bandpass.high_cut - m.bandpass.low_cut) : 10000;
+  const w = document.getElementById("waterfall").clientWidth;
+  pb.style.left = (frac * w - (bw / sr / (hi - lo)) * w / 2) + "px";
+  pb.style.width = Math.max(2, (bw / sr / (hi - lo)) * w) + "px";
+}
+
+document.getElementById("waterfall").addEventListener("click", (e) => {
+  const rect = e.target.getBoundingClientRect();
+  const x = (e.clientX - rect.left) / rect.width;
+  const [lo, hi] = app.waterfall.viewRange();
+  const frac = lo + (hi - lo) * x;
+  tune((frac - 0.5) * (app.config.samp_rate || 0));
+});
+
+document.getElementById("squelch").addEventListener("input", (e) => {
+  send({type: "dspcontrol", params: {squelch_level: parseFloat(e.target.value)}});
+});
+
+document.getElementById("zoom").addEventListener("input", (e) => {
+  app.waterfall.zoom = Math.pow(2, parseInt(e.target.value));
+  const sr = app.config.samp_rate || 1;
+  app.waterfall.center = app.offset / sr + 0.5;
+  drawScale(); drawPassband();
+});
+
+document.getElementById("volume").addEventListener("input", (e) => {
+  app.audio.volume = parseFloat(e.target.value);
+});
+
+document.getElementById("mute").addEventListener("click", () => {
+  app.audio.start();
+  document.getElementById("mute").textContent = "Audio ✓";
+});
+
+document.getElementById("profiles").addEventListener("change", (e) => {
+  send({type: "selectprofile", params: {profile: e.target.value}});
+});
+
+document.getElementById("freq").addEventListener("wheel", (e) => {
+  e.preventDefault();
+  const step = parseFloat(app.config.tuning_step || 1000);
+  tune(app.offset + (e.deltaY < 0 ? step : -step));
+});
+
+connect();

@@ -112,6 +112,36 @@ def adpcm_decode_np(data: bytes, state=(0, 0)):
     return out, (predictor, index)
 
 
+COMPRESS_FFT_PAD_N = 10  # client skips this many samples (openwebrx.js:845)
+
+
+def compress_fft_rows(rows_db: np.ndarray):
+    """Compress waterfall rows like the reference FftAdpcm
+    (csdr/chain/fft.py:44): per row, dB×100 as int16, 10 warm-up pad
+    samples prepended, fresh codec per row (the client resets its codec per
+    message, openwebrx.js:1124-1128).  All rows encode as ONE batched scan.
+
+    rows_db (R, N) float32 → list of R bytes objects, each (N+PAD)/2 long.
+    """
+    rows_db = np.atleast_2d(rows_db)
+    r = rows_db.shape[0]
+    samples = np.clip(rows_db * 100.0, -32768, 32767).astype(np.int16)
+    pad = np.repeat(samples[:, :1], COMPRESS_FFT_PAD_N, axis=1)
+    padded = np.concatenate([pad, samples], axis=1)
+    if padded.shape[1] % 2:
+        padded = np.concatenate([padded, padded[:, -1:]], axis=1)
+    _, (bytes_, _, _) = _encode_jit(adpcm_init((r,)), padded)
+    arr = np.asarray(bytes_)
+    return [arr[i].tobytes() for i in range(r)]
+
+
+# calling adpcm_encode eagerly would re-trace (and re-compile) the scan on
+# EVERY block — route all host-side encoding through one cached jit
+@jax.jit
+def _encode_jit(state, samples):
+    return adpcm_encode(state, samples)
+
+
 SYNC_INTERVAL = 1001  # data bytes per sync frame (see AudioEngine.js:449-487)
 
 

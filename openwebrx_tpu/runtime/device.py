@@ -75,7 +75,9 @@ class ChannelHandle:
 class DeviceRuntime:
     def __init__(self, source: SdrSource, fft_size: int = 4096, fft_fps: float = 9.0,
                  audio_rate: float = 12000.0, compression: str = "adpcm",
-                 capacity: int = 16, target_seconds: float = 0.1):
+                 fft_compression: str = "adpcm", capacity: int = 16,
+                 target_seconds: float = 0.1):
+        self.fft_compression = fft_compression
         self.source = source
         self.audio_rate = audio_rate
         self.compression = compression
@@ -97,11 +99,19 @@ class DeviceRuntime:
         from openwebrx_tpu.models.stages import block_requirement
         spec = StreamSpec(Format.COMPLEX_FLOAT, self.in_rate)
         req = 1
+        self.available_buckets = set()
         for bucket_mode in set(BUCKET_CHAIN_MODE.values()):
-            proto = ClientDemodulatorChain(self.in_rate, audio_rate,
-                                           bucket_mode, compression)
+            try:
+                proto = ClientDemodulatorChain(self.in_rate, audio_rate,
+                                               bucket_mode, compression)
+            except ValueError:
+                # mode infeasible at this device rate (e.g. WFM's fixed
+                # 250 kHz IF above the device sample rate) — not offered
+                continue
             r = block_requirement(proto, spec)
             req = req * r // gcd(req, r)
+            self.available_buckets.add(
+                next(b for b, m in BUCKET_CHAIN_MODE.items() if m == bucket_mode))
         want = max(1, int(round(self.in_rate * target_seconds)))
         self.block = ((want + req - 1) // req) * req
 
@@ -124,6 +134,9 @@ class DeviceRuntime:
 
     def open_channel(self, mode: str, offset_hz: float = 0.0) -> ChannelHandle:
         bucket = BANK_BUCKET[mode]
+        if bucket not in self.available_buckets:
+            raise KeyError(f"mode {mode} not available at "
+                           f"{self.in_rate:.0f} S/s")
         bank = self._get_bank(bucket)
         slot = bank.add_channel(offset_hz)
         lo, hi = MODE_BANDPASS[mode]
@@ -143,6 +156,9 @@ class DeviceRuntime:
                     offset_hz: float | None = None):
         old_bucket = BANK_BUCKET[handle.mode]
         new_bucket = BANK_BUCKET[mode]
+        if new_bucket not in self.available_buckets:
+            raise KeyError(f"mode {mode} not available at "
+                           f"{self.in_rate:.0f} S/s")
         with self._lock:
             bank = self.banks[old_bucket]
             offset = offset_hz if offset_hz is not None else float(
@@ -199,40 +215,54 @@ class DeviceRuntime:
                 logger.exception("device %s block processing failed", self.source.id)
 
     def _process_block(self, block: np.ndarray):
-        # waterfall (shared per device, reference owrx/fft.py)
+        # waterfall (shared per device, reference owrx/fft.py); rows are
+        # compressed ONCE for all subscribers (reference: FftAdpcm inside
+        # the shared FftChain)
         if self.waterfall_subscribers:
             rows, _ = self.fft_program.process(block)
             rows_np = np.asarray(rows)
+            if self.fft_compression == "adpcm":
+                from openwebrx_tpu.ops.adpcm import compress_fft_rows
+                payloads = compress_fft_rows(rows_np)
+            else:
+                payloads = [row.astype(np.float32).tobytes() for row in rows_np]
             for cb in list(self.waterfall_subscribers):
-                for row in rows_np:
-                    cb(row)
+                for payload in payloads:
+                    cb(payload)
         # demod banks
         with self._lock:
             banks = {k: b for k, b in self.banks.items() if b.n_active}
             handles = list(self.handles)
         outputs = {}
         for bucket, bank in banks.items():
-            outputs[bucket] = bank.process(block)
+            y, aux = bank.process(block)
+            # ONE device→host transfer per bank (whole arrays), then numpy
+            # slicing per handle — per-slot eager jax indexing from this
+            # thread can wedge against the in-flight donated computation
+            y_np = tuple(np.asarray(a) for a in y) if isinstance(y, tuple) \
+                else np.asarray(y)
+            power_np = None
+            for key in aux:
+                if key.endswith("power_db"):
+                    power_np = np.asarray(aux[key])
+                    break
+            outputs[bucket] = (y_np, power_np)
         for handle in handles:
             out = outputs.get(BANK_BUCKET[handle.mode])
             if out is None:
                 continue
-            y, aux = out
+            y_np, power_np = out
             if handle.audio_cb is not None:
                 if self.compression == "adpcm":
-                    b, p, i = (np.asarray(a[handle.slot]) for a in y)
+                    b, p, i = (a[handle.slot] for a in y_np)
                     wire = handle.framer.frame(b, p, i)
                 else:
-                    wire = np.asarray(y[handle.slot]).tobytes()
+                    wire = y_np[handle.slot].tobytes()
                 handle.audio_cb(wire)
-            if handle.smeter_cb is not None:
-                for key in aux:
-                    if key.endswith("power_db"):
-                        power = np.asarray(aux[key][handle.slot])
-                        # 4 reports/s from 16 measurements/s (reference
-                        # csdr/chain/selector.py:104-105)
-                        self._emit_smeter(handle, power)
-                        break
+            if handle.smeter_cb is not None and power_np is not None:
+                # 4 reports/s from 16 measurements/s (reference
+                # csdr/chain/selector.py:104-105)
+                self._emit_smeter(handle, power_np[handle.slot])
 
     def _emit_smeter(self, handle, power: np.ndarray):
         for i, v in enumerate(power):

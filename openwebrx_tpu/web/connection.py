@@ -1,0 +1,288 @@
+"""Client connection protocol: the reference's WebSocket message surface.
+
+Reference ``owrx/connection.py``: handshake ``SERVER DE CLIENT`` /
+``CLIENT DE SERVER`` (:618-640), typed JSON down-messages (config,
+receiver_details, features, modes, profiles, smeter, …), binary prefixes
+0x01 FFT / 0x02 audio / 0x04 HD audio (:473-501), up-message dispatch
+(dspcontrol / setsdr / selectprofile / setfrequency /
+connectionproperties / sendmessage, :319-371).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+
+import numpy as np
+
+from openwebrx_tpu import __version__
+from openwebrx_tpu.core.config import Config
+from openwebrx_tpu.core.feature import FeatureDetector
+from openwebrx_tpu.core.modes import Modes, DigitalMode, ServiceOnlyMode
+from openwebrx_tpu.web.websocket import WebSocketConnection, WebSocketClosed, OP_TEXT
+
+logger = logging.getLogger(__name__)
+
+SDR_CONFIG_KEYS = [
+    "waterfall_levels", "waterfall_auto_level_default_mode", "samp_rate",
+    "start_mod", "start_freq", "center_freq", "tuning_step",
+    "initial_squelch_level", "sdr_id", "profile_id", "squelch_auto_margin",
+]
+GLOBAL_CONFIG_KEYS = [
+    "waterfall_scheme", "waterfall_colors", "waterfall_auto_levels",
+    "waterfall_auto_min_range", "fft_size", "audio_compression",
+    "fft_compression", "max_clients", "tuning_precision",
+    "allow_center_freq_changes", "allow_audio_recording", "allow_chat",
+    "ui_theme",
+]
+
+
+def modes_json() -> list:
+    out = []
+    for m in Modes.get_available_modes():
+        entry = {
+            "modulation": m.modulation,
+            "name": m.name,
+            "type": "digimode" if isinstance(m, DigitalMode) else "analog",
+            "requirements": list(m.requirements),
+            "squelch": m.squelch,
+            "service": isinstance(m, ServiceOnlyMode),
+        }
+        if m.get_bandpass() is not None:
+            bp = m.get_bandpass()
+            entry["bandpass"] = {"low_cut": bp.low_cut, "high_cut": bp.high_cut}
+        if isinstance(m, DigitalMode):
+            entry["underlying"] = list(m.underlying)
+            entry["secondary_fft"] = m.secondary_fft
+        out.append(entry)
+    return out
+
+
+class ReceiverConnection:
+    """One connected receiver client (reference OpenWebRxReceiverClient)."""
+
+    def __init__(self, ws: WebSocketConnection, registry):
+        self.ws = ws
+        self.registry = registry       # SdrService-like device registry
+        self.loop = asyncio.get_running_loop()
+        self.send_queue: asyncio.Queue = asyncio.Queue(maxsize=100)
+        self.device = None             # DeviceRuntime
+        self.handle = None             # ChannelHandle
+        self.started = False
+        self.connection_props = {}
+        self.closed = False
+        self._last_profile_change = 0.0
+
+    # ---------------------------------------------------------------- io --
+    def send_json(self, obj: dict):
+        self._enqueue(("text", json.dumps(obj)))
+
+    def send_binary(self, prefix: int, data: bytes):
+        self._enqueue(("bin", bytes([prefix]) + data))
+
+    def _enqueue(self, item):
+        """Thread-safe enqueue with reference backpressure semantics: a
+        client 100 messages behind is dropped (owrx/connection.py:79-85)."""
+        def put():
+            if self.closed:
+                return
+            try:
+                self.send_queue.put_nowait(item)
+            except asyncio.QueueFull:
+                logger.warning("client queue full — disconnecting slow client")
+                self.closed = True
+        self.loop.call_soon_threadsafe(put)
+
+    async def _sender(self):
+        try:
+            while not self.closed:
+                kind, payload = await self.send_queue.get()
+                if kind == "text":
+                    await self.ws.send_text(payload)
+                else:
+                    await self.ws.send_binary(payload)
+        except (WebSocketClosed, ConnectionError):
+            self.closed = True
+
+    # ------------------------------------------------------------- setup --
+    async def run(self):
+        """Post-handshake main loop."""
+        config = Config.get()
+        self.send_json({"type": "receiver_details", "value": {
+            k: config.get(k) for k in
+            ("receiver_name", "receiver_location", "receiver_asl",
+             "receiver_admin", "receiver_gps", "photo_title", "photo_desc")
+        }})
+        self.send_json({"type": "features",
+                        "value": FeatureDetector().feature_report()})
+        self.send_json({"type": "modes", "value": modes_json()})
+        self._send_profiles()
+        sender = asyncio.get_running_loop().create_task(self._sender())
+        try:
+            self.set_sdr()
+            while not self.closed:
+                opcode, payload = await self.ws.receive()
+                if opcode == OP_TEXT:
+                    try:
+                        self.handle_text(payload.decode())
+                    except Exception:
+                        logger.exception("error handling client message")
+        except (WebSocketClosed, ConnectionError):
+            pass
+        except Exception:
+            logger.exception("receiver connection failed")
+        finally:
+            self.closed = True
+            sender.cancel()
+            self.teardown()
+
+    def _send_profiles(self):
+        self.send_json({"type": "profiles",
+                        "value": self.registry.get_profile_list()})
+
+    def send_config(self):
+        config = Config.get()
+        cfg = {k: config.get(k) for k in GLOBAL_CONFIG_KEYS if k in config}
+        if self.device is not None:
+            props = self.device.source.props
+            for k in SDR_CONFIG_KEYS:
+                if k in props:
+                    cfg[k] = props[k]
+            cfg["sdr_id"] = self.device.source.id
+            cfg["samp_rate"] = self.device.source.get_sample_rate()
+            cfg["center_freq"] = self.device.source.get_center_freq()
+            cfg["fft_size"] = self.device.fft_chain.waterfall.fft_size
+            if "start_freq" in props:
+                cfg["start_offset_freq"] = props["start_freq"] - cfg["center_freq"]
+        self.send_json({"type": "config", "value": cfg})
+
+    # ----------------------------------------------------------- devices --
+    def set_sdr(self, sdr_id: str | None = None):
+        device = self.registry.get_device(sdr_id)
+        if device is None:
+            self.send_json({"type": "sdr_error", "value": "No SDR Devices available"})
+            return
+        if device is self.device:
+            return
+        self.teardown()
+        self.device = device
+        self.send_config()
+        device.subscribe_waterfall(self._on_waterfall)
+        device.start()
+
+    def teardown(self):
+        if self.device is not None:
+            self.device.unsubscribe_waterfall(self._on_waterfall)
+        if self.handle is not None:
+            self.handle.close()
+            self.handle = None
+        self.device = None if not self.closed else self.device
+
+    # --------------------------------------------------------- dsp wires --
+    def _on_waterfall(self, payload: bytes):
+        self.send_binary(0x01, payload)
+
+    def _on_audio(self, wire: bytes):
+        self.send_binary(0x02, wire)
+
+    def _on_smeter(self, level_db: float):
+        self.send_json({"type": "smeter", "value": level_db})
+
+    def start_dsp(self):
+        if self.started or self.device is None:
+            return
+        self.started = True
+        props = self.device.source.props
+        mode = props.get("start_mod", "nfm")
+        center = self.device.source.get_center_freq()
+        offset = float(props.get("start_freq", center)) - center
+        self.handle = self.device.open_channel(mode, offset)
+        self.handle.audio_cb = self._on_audio
+        self.handle.smeter_cb = self._on_smeter
+
+    # ------------------------------------------------------- up-messages --
+    def handle_text(self, message: str):
+        try:
+            msg = json.loads(message)
+        except json.JSONDecodeError:
+            logger.warning("message is not json: %s", message[:120])
+            return
+        mtype = msg.get("type")
+        params = msg.get("params", {})
+        if mtype == "dspcontrol":
+            if msg.get("action") == "start":
+                self.start_dsp()
+            if "params" in msg:
+                self.set_dsp_properties(params)
+        elif mtype == "setsdr":
+            if "sdr" in params:
+                self.set_sdr(params["sdr"])
+        elif mtype == "selectprofile":
+            if "profile" in params:
+                sdr_id, _, profile_id = params["profile"].partition("|")
+                self.select_profile(sdr_id, profile_id)
+        elif mtype == "setfrequency":
+            cfg = Config.get()
+            if "frequency" in params and cfg.get("allow_center_freq_changes"):
+                magic = cfg.get("magic_key", "")
+                if magic in ("", params.get("key")):
+                    self.device.source.props["center_freq"] = params["frequency"]
+                    self.send_config()
+        elif mtype == "connectionproperties":
+            self.connection_props = params
+            self.set_dsp_properties(params)
+        elif mtype == "sendmessage":
+            if "text" in msg:
+                self.registry.broadcast_chat(msg.get("name"), msg["text"])
+        else:
+            logger.warning("unknown message type: %s", mtype)
+
+    def set_dsp_properties(self, params: dict):
+        if self.handle is None:
+            return
+        if "mod" in params and params["mod"] != self.handle.mode:
+            try:
+                self.handle.set_mode(params["mod"])
+            except KeyError:
+                self.send_json({"type": "demodulator_error",
+                                "value": f"mode {params['mod']} not supported yet"})
+        if "offset_freq" in params:
+            self.handle.set_offset(float(params["offset_freq"]))
+        if "squelch_level" in params:
+            self.handle.set_squelch(float(params["squelch_level"]))
+        if "low_cut" in params and "high_cut" in params:
+            self.handle.set_bandpass(float(params["low_cut"]),
+                                     float(params["high_cut"]))
+
+    def select_profile(self, sdr_id: str, profile_id: str):
+        self.set_sdr(sdr_id)
+        if self.device is not None:
+            self.device.source.activate_profile(profile_id)
+            self.send_config()
+
+
+async def handle_websocket(request, registry):
+    """HTTP upgrade → handshake → ReceiverConnection (reference
+    HandshakeMessageHandler, owrx/connection.py:595-648)."""
+    ws = WebSocketConnection(request.reader, request.writer)
+    request.writer.write(ws.upgrade_response(request.headers))
+    await request.writer.drain()
+    await ws.send_text(f"CLIENT DE SERVER server=openwebrx version={__version__}")
+    try:
+        opcode, payload = await ws.receive()
+    except WebSocketClosed:
+        return
+    greeting = payload.decode(errors="replace")
+    if not greeting.startswith("SERVER DE CLIENT"):
+        await ws.close()
+        return
+    ws.start_keepalive()
+    ctype = dict(part.split("=", 1) for part in greeting.split()[3:]
+                 if "=" in part).get("type", "receiver")
+    if ctype == "receiver":
+        conn = ReceiverConnection(ws, registry)
+        await conn.run()
+    else:
+        await ws.close()

@@ -1,0 +1,179 @@
+"""Minimal asyncio HTTP server + router.
+
+Replaces the reference's stdlib ThreadingMixIn HTTPServer + regex Router
+(reference ``owrx/http.py:90-222``, ``owrx/__main__.py:34-40``) with one
+event loop.  Routes: static assets from ``htdocs/``, the WebSocket
+upgrade at ``/ws/``, and JSON API endpoints (status, features, metrics).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import mimetypes
+import os
+import re
+from email.utils import formatdate
+
+logger = logging.getLogger(__name__)
+
+HTDOCS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "htdocs")
+
+
+class Request:
+    def __init__(self, method, path, headers, body, reader, writer):
+        self.method = method
+        self.path = path
+        self.query = {}
+        if "?" in path:
+            self.path, qs = path.split("?", 1)
+            for pair in qs.split("&"):
+                if "=" in pair:
+                    k, v = pair.split("=", 1)
+                    self.query[k] = v
+        self.headers = headers
+        self.body = body
+        self.reader = reader
+        self.writer = writer
+        self.matches = None
+
+
+def response(status: int, body: bytes = b"", content_type: str = "text/plain",
+             headers: dict | None = None) -> bytes:
+    reason = {200: "OK", 304: "Not Modified", 400: "Bad Request",
+              404: "Not Found", 500: "Internal Server Error"}.get(status, "")
+    head = [f"HTTP/1.1 {status} {reason}",
+            f"Content-Type: {content_type}",
+            f"Content-Length: {len(body)}",
+            f"Date: {formatdate(usegmt=True)}",
+            "Connection: keep-alive"]
+    for k, v in (headers or {}).items():
+        head.append(f"{k}: {v}")
+    return ("\r\n".join(head) + "\r\n\r\n").encode() + body
+
+
+def json_response(data, status: int = 200) -> bytes:
+    return response(status, json.dumps(data, indent=2).encode(),
+                    "application/json")
+
+
+class Router:
+    def __init__(self):
+        self.static_routes = {}
+        self.regex_routes = []
+        self.websocket_handler = None
+
+    def add(self, path: str, handler, method: str = "GET"):
+        self.static_routes[(method, path)] = handler
+
+    def add_regex(self, pattern: str, handler, method: str = "GET"):
+        self.regex_routes.append((method, re.compile(pattern), handler))
+
+    def route(self, request: Request):
+        handler = self.static_routes.get((request.method, request.path))
+        if handler is not None:
+            return handler
+        for method, rx, handler in self.regex_routes:
+            if method == request.method:
+                m = rx.match(request.path)
+                if m:
+                    request.matches = m
+                    return handler
+        return None
+
+
+class HttpServer:
+    def __init__(self, router: Router, port: int = 8073, host: str = "0.0.0.0"):
+        self.router = router
+        self.port = port
+        self.host = host
+        self._server: asyncio.AbstractServer | None = None
+        self._writers: set[asyncio.StreamWriter] = set()
+
+    async def start(self):
+        self._server = await asyncio.start_server(self._handle, self.host, self.port)
+        logger.info("HTTP server listening on %s:%d", self.host, self.port)
+
+    async def stop(self):
+        if self._server is not None:
+            self._server.close()
+            # long-lived websocket handlers never return on their own —
+            # close their transports or wait_closed() blocks forever
+            for w in list(self._writers):
+                try:
+                    w.close()
+                except Exception:
+                    pass
+            await self._server.wait_closed()
+
+    async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        self._writers.add(writer)
+        try:
+            while True:
+                request = await self._read_request(reader, writer)
+                if request is None:
+                    break
+                if request.headers.get("upgrade", "").lower() == "websocket":
+                    if self.router.websocket_handler is not None:
+                        await self.router.websocket_handler(request)
+                    return  # connection consumed by websocket
+                handler = self.router.route(request)
+                if handler is None:
+                    writer.write(response(404, b"not found"))
+                else:
+                    result = handler(request)
+                    if asyncio.iscoroutine(result):
+                        result = await result
+                    writer.write(result)
+                await writer.drain()
+                if request.headers.get("connection", "").lower() == "close":
+                    break
+        except (ConnectionError, asyncio.IncompleteReadError):
+            pass
+        except Exception:
+            logger.exception("request handling failed")
+        finally:
+            self._writers.discard(writer)
+            try:
+                writer.close()
+            except Exception:
+                pass
+
+    async def _read_request(self, reader, writer) -> Request | None:
+        try:
+            head = await asyncio.wait_for(reader.readuntil(b"\r\n\r\n"), timeout=300)
+        except (asyncio.IncompleteReadError, asyncio.TimeoutError, ConnectionError):
+            return None
+        lines = head.decode("latin1").split("\r\n")
+        try:
+            method, path, _ = lines[0].split(" ", 2)
+        except ValueError:
+            return None
+        headers = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        body = b""
+        length = int(headers.get("content-length", 0))
+        if length:
+            body = await reader.readexactly(length)
+        return Request(method, path, headers, body, reader, writer)
+
+
+def serve_static(request: Request, root: str = HTDOCS) -> bytes:
+    rel = request.path.lstrip("/") or "index.html"
+    # normalize and confine to the document root
+    full = os.path.normpath(os.path.join(root, rel))
+    if not full.startswith(os.path.abspath(root)):
+        return response(404, b"not found")
+    if os.path.isdir(full):
+        full = os.path.join(full, "index.html")
+    if not os.path.isfile(full):
+        return response(404, b"not found")
+    ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+    with open(full, "rb") as f:
+        return response(200, f.read(), ctype,
+                        {"Cache-Control": "no-cache"})

@@ -1,0 +1,135 @@
+"""Server entry point: routes + boot/shutdown ordering.
+
+Reference ``owrx/__main__.py:51-195`` (boot: config → features → sources →
+services → HTTP; orderly shutdown) as an asyncio app.
+
+Run:  python -m openwebrx_tpu.web.server [--port 8073] [--config settings.json]
+      [--signal-demo]   # synthetic multi-signal source, no hardware needed
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import signal
+
+from openwebrx_tpu import __version__
+from openwebrx_tpu.core.config import Config
+from openwebrx_tpu.core.feature import FeatureDetector
+from openwebrx_tpu.sdr import SdrService
+from openwebrx_tpu.web.connection import handle_websocket
+from openwebrx_tpu.web.http import HttpServer, Router, Request, json_response, serve_static
+
+logger = logging.getLogger(__name__)
+
+
+def build_router() -> Router:
+    router = Router()
+
+    def status(request: Request):
+        config = Config.get()
+        return json_response({
+            "receiver": {k: config.get(k) for k in
+                         ("receiver_name", "receiver_location", "receiver_asl",
+                          "receiver_admin", "receiver_gps")},
+            "version": __version__,
+            "sdrs": [{"id": s.id, "name": s.get_name(),
+                      "state": str(s.get_state()), "failed": s.is_failed()}
+                     for s in SdrService.get_sources().values()],
+            "max_clients": config.get("max_clients"),
+        })
+
+    def features(request: Request):
+        return json_response(FeatureDetector().feature_report())
+
+    def metrics(request: Request):
+        from openwebrx_tpu.core.metrics import Metrics
+        return json_response(Metrics.shared().get_hierarchical())
+
+    def metrics_prometheus(request: Request):
+        from openwebrx_tpu.core.metrics import Metrics
+        from openwebrx_tpu.web.http import response
+        return response(200, Metrics.shared().render_prometheus().encode(),
+                        "text/plain; version=0.0.4")
+
+    router.add("/status.json", status)
+    router.add("/api/features", features)
+    router.add("/metrics.json", metrics)
+    router.add("/metrics", metrics_prometheus)
+    router.add_regex(r"^/(?!ws/).*$", serve_static)
+    router.websocket_handler = lambda request: handle_websocket(request, SdrService)
+    return router
+
+
+SIGNAL_DEMO_CONFIG = {
+    "name": "Synthetic Demo",
+    "type": "signal",
+    "samp_rate": 2400000,
+    "center_freq": 145000000,
+    "throttle": True,
+    "noise": 2e-4,
+    "signals": [
+        {"kind": "nfm", "offset_hz": 145000.0, "f_audio": 1000.0, "amplitude": 0.4},
+        {"kind": "nfm", "offset_hz": -350000.0, "f_audio": 440.0, "amplitude": 0.3},
+        {"kind": "am", "offset_hz": -200000.0, "f_audio": 800.0, "amplitude": 0.3},
+        {"kind": "usb", "offset_hz": 300000.0, "f_audio": 1500.0, "amplitude": 0.2},
+    ],
+    "profiles": {
+        "default": {"name": "Demo", "center_freq": 145000000,
+                    "samp_rate": 2400000, "start_freq": 145145000,
+                    "start_mod": "nfm", "tuning_step": "5000"},
+    },
+}
+
+
+async def main_async(args):
+    if args.signal_demo:
+        config = Config.get()
+        config["sdrs"] = {"demo": SIGNAL_DEMO_CONFIG}
+    failed = FeatureDetector().get_failed_requirements("core")
+    if failed:
+        raise SystemExit(f"missing core requirements: {failed}")
+    SdrService.load()
+    router = build_router()
+    server = HttpServer(router, port=args.port)
+    await server.start()
+    logger.info("openwebrx_tpu %s ready on port %d", __version__, args.port)
+    stop = asyncio.Event()
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            loop.add_signal_handler(sig, stop.set)
+        except NotImplementedError:
+            pass
+    await stop.wait()
+    logger.info("shutting down")
+    await server.stop()
+    SdrService.stop_all()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="openwebrx_tpu web receiver")
+    parser.add_argument("--port", type=int, default=8073)
+    parser.add_argument("--signal-demo", action="store_true",
+                        help="serve a synthetic multi-signal source")
+    parser.add_argument("--sdrs", type=str, default=None,
+                        help="JSON file or string with the sdrs config dict")
+    parser.add_argument("--loglevel", default="INFO")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=args.loglevel,
+                        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    if args.sdrs:
+        import os
+        cfg = Config.get()
+        if os.path.isfile(args.sdrs):
+            with open(args.sdrs) as f:
+                cfg["sdrs"] = json.load(f)
+        else:
+            cfg["sdrs"] = json.loads(args.sdrs)
+    asyncio.run(main_async(args))
+
+
+if __name__ == "__main__":
+    main()

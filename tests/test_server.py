@@ -1,0 +1,197 @@
+"""End-to-end server protocol test: boot the server on a synthetic source,
+connect over a real WebSocket, complete the reference handshake, and
+verify config/modes/profiles JSON plus binary FFT (0x01) and ADPCM audio
+(0x02) frames arrive; exercise retune and mode switch live."""
+
+import asyncio
+import base64
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from openwebrx_tpu.core.config import Config
+
+
+@pytest.fixture()
+def demo_config(tmp_path):
+    Config.reset()
+    config = Config.get()
+    config["sdrs"] = {
+        "demo": {
+            "name": "Test Demo", "type": "signal",
+            "samp_rate": 240000, "center_freq": 145000000,
+            "throttle": False, "noise": 1e-4,
+            "signals": [
+                {"kind": "nfm", "offset_hz": 14500.0, "f_audio": 1000.0,
+                 "amplitude": 0.5},
+            ],
+            "profiles": {
+                "default": {"name": "Demo", "center_freq": 145000000,
+                            "samp_rate": 240000, "start_freq": 145014500,
+                            "start_mod": "nfm"},
+            },
+        }
+    }
+    yield config
+    from openwebrx_tpu.sdr import SdrService
+    SdrService.stop_all()
+    Config.reset()
+
+
+class WsTestClient:
+    """Tiny RFC6455 client for protocol tests."""
+
+    def __init__(self, reader, writer):
+        self.reader = reader
+        self.writer = writer
+
+    @classmethod
+    async def connect(cls, port, path="/ws/"):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        key = base64.b64encode(os.urandom(16)).decode()
+        writer.write((f"GET {path} HTTP/1.1\r\nHost: localhost\r\n"
+                      "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                      f"Sec-WebSocket-Key: {key}\r\n"
+                      "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        await writer.drain()
+        head = await reader.readuntil(b"\r\n\r\n")
+        assert b"101" in head.split(b"\r\n")[0]
+        return cls(reader, writer)
+
+    async def send_text(self, text: str):
+        await self._send(0x1, text.encode())
+
+    async def _send(self, opcode, payload):
+        mask = os.urandom(4)
+        head = bytearray([0x80 | opcode])
+        n = len(payload)
+        if n < 126:
+            head.append(0x80 | n)
+        else:
+            head.append(0x80 | 126)
+            head += struct.pack(">H", n)
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        self.writer.write(bytes(head) + mask + masked)
+        await self.writer.drain()
+
+    async def receive(self):
+        while True:
+            head = await self.reader.readexactly(2)
+            opcode = head[0] & 0x0F
+            length = head[1] & 0x7F
+            if length == 126:
+                length, = struct.unpack(">H", await self.reader.readexactly(2))
+            elif length == 127:
+                length, = struct.unpack(">Q", await self.reader.readexactly(8))
+            payload = await self.reader.readexactly(length) if length else b""
+            if opcode == 0x9:  # ping
+                await self._send(0xA, payload)
+                continue
+            return opcode, payload
+
+    async def expect_json(self, msg_type, timeout=10):
+        async def _wait():
+            while True:
+                opcode, payload = await self.receive()
+                if opcode == 0x1:
+                    msg = json.loads(payload)
+                    if msg.get("type") == msg_type:
+                        return msg
+        return await asyncio.wait_for(_wait(), timeout)
+
+    async def collect_binary(self, prefix, count, timeout=30):
+        frames = []
+
+        async def _wait():
+            while len(frames) < count:
+                opcode, payload = await self.receive()
+                if opcode == 0x2 and payload and payload[0] == prefix:
+                    frames.append(payload[1:])
+            return frames
+        return await asyncio.wait_for(_wait(), timeout)
+
+    async def close(self):
+        self.writer.close()
+
+
+@pytest.mark.usefixtures("demo_config")
+class TestServerEndToEnd:
+    def test_full_session(self):
+        asyncio.run(self._session())
+
+    async def _session(self):
+        from openwebrx_tpu.sdr import SdrService
+        from openwebrx_tpu.web.server import build_router
+        from openwebrx_tpu.web.http import HttpServer
+
+        SdrService.load()
+        server = HttpServer(build_router(), port=0, host="127.0.0.1")
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        import sys
+
+        def mark(s):
+            # progress marks surface in pytest output on hang/failure
+            print("STEP:", s, file=sys.stderr, flush=True)
+        try:
+            client = await WsTestClient.connect(port)
+            opcode, payload = await client.receive()
+            assert payload.decode().startswith("CLIENT DE SERVER")
+            await client.send_text("SERVER DE CLIENT client=test type=receiver")
+
+            mark("handshake")
+            details = await client.expect_json("receiver_details")
+            assert "receiver_name" in details["value"]
+            modes = await client.expect_json("modes")
+            mods = [m["modulation"] for m in modes["value"]]
+            assert {"nfm", "am", "usb", "lsb", "cw", "sam", "wfm"} <= set(mods)
+            profiles = await client.expect_json("profiles")
+            assert profiles["value"][0]["id"] == "demo|default"
+            mark("got modes+profiles")
+            config = await client.expect_json("config")
+            assert config["value"]["samp_rate"] == 240000
+            assert config["value"]["center_freq"] == 145000000
+
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol", "action": "start"}))
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol",
+                 "params": {"offset_freq": 14500, "squelch_level": -150}}))
+
+            mark("start sent")
+            # binary waterfall + audio + smeter must flow
+            fft_frames = await client.collect_binary(0x01, 3)
+            assert all(len(f) > 1000 for f in fft_frames)
+            mark("fft collected")
+            audio = await client.collect_binary(0x02, 2)
+            # SYNC headers recur every 1001 data bytes — not per frame
+            assert b"SYNC" in b"".join(audio)
+            mark("audio collected")
+            smeter = await client.expect_json("smeter")
+            assert isinstance(smeter["value"], float)
+
+            mark("smeter ok")
+            # decode one ADPCM-compressed FFT row and find the tone
+            from openwebrx_tpu.ops.adpcm import adpcm_decode_np, COMPRESS_FFT_PAD_N
+            row_i16, _ = adpcm_decode_np(bytes(fft_frames[-1]))
+            row = row_i16[COMPRESS_FFT_PAD_N:].astype(np.float32) / 100
+            assert len(row) >= 4096
+            peak = int(np.argmax(row[:4096]))
+            expected = 2048 + round(14500 / 240000 * 4096)
+            # FM deviation 3 kHz spreads the carrier ±51 bins at this rate
+            assert abs(peak - expected) <= 60
+
+            mark("peak ok")
+            # live mode switch via dspcontrol params
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol", "params": {"mod": "am"}}))
+            audio2 = await client.collect_binary(0x02, 2)
+            assert audio2
+            mark("all ok")
+            await client.close()
+        finally:
+            await server.stop()
+            SdrService.stop_all()
