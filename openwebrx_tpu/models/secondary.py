@@ -1,0 +1,181 @@
+"""Secondary (digimode) demodulator chains: PSK31/63, RTTY, CW.
+
+Reference: ``csdr/chain/digimodes.py:15-180`` — PskDemodulator
+(Agc→TimingRecovery→DBPskDecoder→VaricodeDecoder), RttyDemodulator
+(Agc→FmDemod→Lowpass→TimingRecovery→RttyDecoder→BaudotDecoder),
+CwDemodulator — and the SecondarySelector (``csdr/chain/selector.py:217``).
+
+TPU design: each digimode chain runs the full path from device IQ
+(Selector to a 12 kHz complex IF, then mode-specific narrowband stages)
+so digimode listeners batch exactly like audio listeners.  The final
+bits→text decode is host-side (openwebrx_tpu.digimodes), fed from the
+fixed-shape symbol/envelope outputs these chains produce.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import jax.numpy as jnp
+
+from openwebrx_tpu.models.selector import Selector
+from openwebrx_tpu.models.stages import (
+    OpStage, ShiftStage, FirDecimateStage, BandpassStage, FmDemodStage,
+)
+from openwebrx_tpu.ops import timing
+from openwebrx_tpu.ops.formats import Format
+from openwebrx_tpu.runtime.chain import Chain
+
+IF_RATE = 12000.0
+
+
+class TimingRecoveryStage(OpStage):
+    """Feedforward symbol recovery (terminal): y = symbols (..., B/SPS)."""
+
+    name = "timing_recovery"
+
+    def divisor(self, in_spec):
+        return timing.SPS
+
+    def ratio(self, in_spec):
+        return Fraction(1, timing.SPS)
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_rate(in_spec.rate / timing.SPS)
+
+    def init_state(self, batch_shape=()):
+        return timing.timing_init(batch_shape)
+
+    def apply(self, state, params, x):
+        state, symbols = timing.recover(state, x)
+        return state, symbols, {}
+
+    def signature(self):
+        return ("timing_recovery",)
+
+
+class RealToComplexStage(OpStage):
+    """Real → complex (for reusing complex machinery on real streams)."""
+
+    name = "real_to_complex"
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_format(Format.COMPLEX_FLOAT)
+
+    def apply(self, state, params, x):
+        return state, x.astype(jnp.complex64), {}
+
+    def signature(self):
+        return ("real_to_complex",)
+
+
+class EnvelopeStage(OpStage):
+    """|x| (keying envelope for CW)."""
+
+    name = "envelope"
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_format(Format.FLOAT)
+
+    def apply(self, state, params, x):
+        return state, jnp.abs(x).astype(jnp.float32), {}
+
+    def signature(self):
+        return ("envelope",)
+
+
+class PskChain(Chain):
+    """PSK31/63 from device IQ: Selector→shift(carrier)→bandpass→decimate
+    to 4 samples/symbol→Gardner.  Output (symbols, valid); host does
+    DBPSK + varicode."""
+
+    def __init__(self, in_rate: float, baud: float = 31.25, name: str = "psk"):
+        self.baud = baud
+        decim = int(round(IF_RATE / (timing.SPS * baud)))
+        self.selector = Selector(in_rate, IF_RATE, with_squelch=False)
+        # the carrier sits wherever the user clicked; selector's shift does
+        # coarse tuning, this one centers the PSK carrier at 0 inside the IF
+        self.fine_shift = ShiftStage(name="psk_fine_shift")
+        self.bandpass = BandpassStage(-2.0 * baud, 2.0 * baud, name="psk_bandpass")
+        super().__init__([
+            self.selector,
+            self.fine_shift,
+            self.bandpass,
+            FirDecimateStage(decim, transition_bw=0.2 / decim, name="psk_decim"),
+            TimingRecoveryStage(),
+        ], name=name)
+
+    def set_frequency_offset(self, offset_hz: float):
+        self.selector.set_frequency_offset(offset_hz)
+
+    def set_carrier(self, carrier_hz: float):
+        """Fine carrier position inside the IF (e.g. the secondary cursor)."""
+        self.fine_shift.set_rate(-carrier_hz / IF_RATE)
+
+
+class RttyChain(Chain):
+    """RTTY from device IQ: Selector→shift(center between tones)→bandpass→
+    FM discriminator→decimate to 4 samples/symbol→Gardner.  Output symbol
+    stream whose SIGN is the mark/space bit; host frames ITA2."""
+
+    def __init__(self, in_rate: float, baud: float = 45.45, shift_hz: float = 170.0,
+                 name: str = "rtty"):
+        self.baud = baud
+        self.shift_hz = shift_hz
+        decim = int(round(IF_RATE / (timing.SPS * baud)))
+        self.selector = Selector(in_rate, IF_RATE, with_squelch=False)
+        self.fine_shift = ShiftStage(name="rtty_fine_shift")
+        self.bandpass = BandpassStage(-(shift_hz + 2 * baud), shift_hz + 2 * baud,
+                                      name="rtty_bandpass")
+        super().__init__([
+            self.selector,
+            self.fine_shift,
+            self.bandpass,
+            FmDemodStage(),
+            RealToComplexStage(),
+            FirDecimateStage(decim, transition_bw=0.2 / decim, name="rtty_decim"),
+            TimingRecoveryStage(),
+        ], name=name)
+
+    def set_frequency_offset(self, offset_hz: float):
+        self.selector.set_frequency_offset(offset_hz)
+
+    def set_carrier(self, carrier_hz: float):
+        self.fine_shift.set_rate(-carrier_hz / IF_RATE)
+
+
+class CwChain(Chain):
+    """CW from device IQ: Selector→shift(tone)→narrow bandpass→envelope→
+    decimate to a few hundred Hz.  Output float envelope; host decodes
+    Morse adaptively."""
+
+    ENV_RATE = 500.0
+
+    def __init__(self, in_rate: float, name: str = "cw_decoder"):
+        decim = int(round(IF_RATE / self.ENV_RATE))
+        self.selector = Selector(in_rate, IF_RATE, with_squelch=False)
+        self.fine_shift = ShiftStage(name="cw_fine_shift")
+        self.bandpass = BandpassStage(-100.0, 100.0, name="cw_bandpass")
+        super().__init__([
+            self.selector,
+            self.fine_shift,
+            self.bandpass,
+            EnvelopeStage(),
+            FirDecimateStage(decim, transition_bw=0.2 / decim, name="cw_decim"),
+        ], name=name)
+
+    def set_frequency_offset(self, offset_hz: float):
+        self.selector.set_frequency_offset(offset_hz)
+
+    def set_carrier(self, carrier_hz: float):
+        self.fine_shift.set_rate(-carrier_hz / IF_RATE)
+
+
+SECONDARY_FACTORY = {
+    "bpsk31": lambda in_rate: PskChain(in_rate, 31.25),
+    "bpsk63": lambda in_rate: PskChain(in_rate, 62.5),
+    "rtty170": lambda in_rate: RttyChain(in_rate, 45.45, 170.0),
+    "rtty450": lambda in_rate: RttyChain(in_rate, 50.0, 450.0),
+    "rtty85": lambda in_rate: RttyChain(in_rate, 50.0, 85.0),
+    "cwdecoder": lambda in_rate: CwChain(in_rate),
+}

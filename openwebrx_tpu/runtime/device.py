@@ -40,6 +40,78 @@ BUCKET_CHAIN_MODE = {"nfm": "nfm", "am": "am", "sam": "sam", "wfm": "wfm",
                      "ssb": "usb"}
 
 
+class SecondaryHandle:
+    """A digimode decoder attached to a listener's frequency (reference
+    secondary demodulator, owrx/dsp.py:682-797).
+
+    Runs its own Program on its own block cadence (secondary chains have
+    different divisibility needs than the audio banks), fed from the device
+    IQ via an accumulator, with the host-side bits→text decoder attached.
+    """
+
+    def __init__(self, runtime: "DeviceRuntime", mode: str, offset_hz: float):
+        from openwebrx_tpu.models.secondary import SECONDARY_FACTORY
+        from openwebrx_tpu.models.stages import plan_block_size as _pbs
+        from openwebrx_tpu.ops.formats import Format as _F, StreamSpec as _S
+
+        self.runtime = runtime
+        self.mode = mode
+        self.chain = SECONDARY_FACTORY[mode](runtime.in_rate)
+        self.chain.set_frequency_offset(offset_hz)
+        spec = _S(_F.COMPLEX_FLOAT, runtime.in_rate)
+        self.block = _pbs(self.chain, spec, 0.1)
+        self.program = Program(self.chain, spec, self.block)
+        self._pending: list[np.ndarray] = []
+        self._pending_len = 0
+        self.text_cb = None
+        self._decoder = self._make_decoder()
+
+    def _make_decoder(self):
+        from openwebrx_tpu.digimodes.cw import CwDecoder
+        from openwebrx_tpu.digimodes.psk import VaricodeDecoder, dbpsk_bits
+        from openwebrx_tpu.digimodes.rtty import RttyFramer
+        from openwebrx_tpu.models.secondary import CwChain
+
+        if self.mode.startswith("bpsk"):
+            vd = VaricodeDecoder()
+            self._last_symbol = None
+
+            def decode(symbols):
+                symbols = np.asarray(symbols)
+                if self._last_symbol is not None:
+                    symbols = np.concatenate([[self._last_symbol], symbols])
+                self._last_symbol = symbols[-1] if len(symbols) else None
+                return vd.decode(dbpsk_bits(symbols))
+            return decode
+        if self.mode.startswith("rtty"):
+            framer = RttyFramer()
+            return lambda symbols: framer.decode(
+                (np.asarray(symbols).real > 0).astype(np.uint8))
+        if self.mode == "cwdecoder":
+            cw = CwDecoder(CwChain.ENV_RATE)
+            return lambda env: cw.decode(np.asarray(env))
+        return lambda y: ""
+
+    def set_offset(self, offset_hz: float):
+        self.chain.set_frequency_offset(offset_hz)
+
+    def set_carrier(self, carrier_hz: float):
+        self.chain.set_carrier(carrier_hz)
+
+    def feed(self, block: np.ndarray):
+        self._pending.append(block)
+        self._pending_len += len(block)
+        while self._pending_len >= self.block:
+            buf = np.concatenate(self._pending)
+            chunk, rest = buf[: self.block], buf[self.block:]
+            self._pending = [rest] if len(rest) else []
+            self._pending_len = len(rest)
+            y, _ = self.program.process(chunk)
+            text = self._decoder(y)
+            if text and self.text_cb is not None:
+                self.text_cb(text)
+
+
 class ChannelHandle:
     """A listener's handle on one bank slot (the per-client control surface
     the reference exposes through DspManager properties)."""
@@ -86,6 +158,7 @@ class DeviceRuntime:
         self.in_rate = source.get_sample_rate()
         self.banks: dict[str, ChannelBank] = {}
         self.handles: list[ChannelHandle] = []
+        self.secondary_handles: list[SecondaryHandle] = []
         self.waterfall_subscribers: list = []
         self._lock = threading.RLock()
         self._running = False
@@ -145,6 +218,17 @@ class DeviceRuntime:
         with self._lock:
             self.handles.append(handle)
         return handle
+
+    def open_secondary(self, mode: str, offset_hz: float) -> SecondaryHandle:
+        handle = SecondaryHandle(self, mode, offset_hz)
+        with self._lock:
+            self.secondary_handles.append(handle)
+        return handle
+
+    def release_secondary(self, handle: SecondaryHandle):
+        with self._lock:
+            if handle in self.secondary_handles:
+                self.secondary_handles.remove(handle)
 
     def release_channel(self, handle: ChannelHandle):
         with self._lock:
@@ -233,6 +317,12 @@ class DeviceRuntime:
         with self._lock:
             banks = {k: b for k, b in self.banks.items() if b.n_active}
             handles = list(self.handles)
+            secondaries = list(self.secondary_handles)
+        for sec in secondaries:
+            try:
+                sec.feed(block)
+            except Exception:
+                logger.exception("secondary %s failed", sec.mode)
         outputs = {}
         for bucket, bank in banks.items():
             y, aux = bank.process(block)

@@ -62,6 +62,27 @@ class FileSource(SdrSource):
                     next_deadline = time.monotonic()
 
 
+def _psk_waveform(sig: dict, rate: float) -> np.ndarray:
+    """Looping BPSK31-style baseband waveform carrying sig['text']."""
+    from openwebrx_tpu.digimodes.psk import _VARICODE
+
+    baud = float(sig.get("baud", 31.25))
+    text = sig.get("text", "cq cq cq de openwebrx tpu ")
+    bits = [0] * 16
+    for ch in text:
+        code = _VARICODE[ord(ch)] if ord(ch) < 128 else "1"
+        bits.extend(int(b) for b in code)
+        bits.extend([0, 0])
+    bits.extend([0] * 16)
+    phase = 1.0
+    phases = []
+    for b in bits:
+        phase = phase * (1.0 if b else -1.0)
+        phases.append(phase)
+    sps = int(round(rate / baud))
+    return np.repeat(np.asarray(phases, np.complex64), sps)
+
+
 class SignalSource(SdrSource):
     """Synthetic multi-signal generator (tests/demos without hardware).
 
@@ -78,6 +99,11 @@ class SignalSource(SdrSource):
         rng = np.random.default_rng(0)
         n0 = 0
         phases = [0.0] * len(signals)
+        # precompute looping baseband waveforms for symbol-based kinds
+        waveforms = {}
+        for i, sig in enumerate(signals):
+            if sig.get("kind") == "psk":
+                waveforms[i] = _psk_waveform(sig, rate)
         block_seconds = block / rate
         next_deadline = time.monotonic()
         while not self._stop_requested:
@@ -103,6 +129,11 @@ class SignalSource(SdrSource):
                             ).astype(np.complex64)
                 elif kind == "usb":
                     out += (amp * np.exp(2j * np.pi * (off + f_audio) / rate * n)
+                            ).astype(np.complex64)
+                elif kind == "psk":
+                    wf = waveforms[i]
+                    idx = n % len(wf)
+                    out += (amp * wf[idx] * np.exp(2j * np.pi * off / rate * n)
                             ).astype(np.complex64)
                 else:  # tone
                     out += (amp * np.exp(2j * np.pi * off / rate * n)

@@ -70,6 +70,8 @@ class ReceiverConnection:
         self.send_queue: asyncio.Queue = asyncio.Queue(maxsize=100)
         self.device = None             # DeviceRuntime
         self.handle = None             # ChannelHandle
+        self.secondary = None          # SecondaryHandle (digimode decoder)
+        self._offset = 0.0
         self.started = False
         self.connection_props = {}
         self.closed = False
@@ -178,6 +180,9 @@ class ReceiverConnection:
         if self.handle is not None:
             self.handle.close()
             self.handle = None
+        if self.secondary is not None and self.device is not None:
+            self.device.release_secondary(self.secondary)
+            self.secondary = None
         self.device = None if not self.closed else self.device
 
     # --------------------------------------------------------- dsp wires --
@@ -198,6 +203,7 @@ class ReceiverConnection:
         mode = props.get("start_mod", "nfm")
         center = self.device.source.get_center_freq()
         offset = float(props.get("start_freq", center)) - center
+        self._offset = offset
         self.handle = self.device.open_channel(mode, offset)
         self.handle.audio_cb = self._on_audio
         self.handle.smeter_cb = self._on_smeter
@@ -243,18 +249,55 @@ class ReceiverConnection:
         if self.handle is None:
             return
         if "mod" in params and params["mod"] != self.handle.mode:
-            try:
-                self.handle.set_mode(params["mod"])
-            except KeyError:
-                self.send_json({"type": "demodulator_error",
-                                "value": f"mode {params['mod']} not supported yet"})
+            mod = params["mod"]
+            from openwebrx_tpu.models.secondary import SECONDARY_FACTORY
+            if mod in SECONDARY_FACTORY:
+                self._set_secondary(mod)
+            else:
+                self._set_secondary(None)
+                try:
+                    self.handle.set_mode(mod)
+                except KeyError:
+                    self.send_json({"type": "demodulator_error",
+                                    "value": f"mode {mod} not supported yet"})
+        if "secondary_mod" in params:
+            sec = params["secondary_mod"]
+            self._set_secondary(sec if sec else None)
         if "offset_freq" in params:
-            self.handle.set_offset(float(params["offset_freq"]))
+            self._offset = float(params["offset_freq"])
+            self.handle.set_offset(self._offset)
+            if self.secondary is not None:
+                self.secondary.set_offset(self._offset)
+        if "secondary_offset_freq" in params and self.secondary is not None:
+            self.secondary.set_carrier(float(params["secondary_offset_freq"]))
         if "squelch_level" in params:
             self.handle.set_squelch(float(params["squelch_level"]))
         if "low_cut" in params and "high_cut" in params:
             self.handle.set_bandpass(float(params["low_cut"]),
                                      float(params["high_cut"]))
+
+    def _set_secondary(self, mode: str | None):
+        """Attach/detach a digimode decoder (reference secondary demod,
+        owrx/dsp.py:682-797; down-messages secondary_config /
+        secondary_demod)."""
+        if self.secondary is not None:
+            self.device.release_secondary(self.secondary)
+            self.secondary = None
+        if mode is None or self.device is None:
+            return
+        try:
+            self.secondary = self.device.open_secondary(mode, self._offset)
+        except KeyError:
+            self.send_json({"type": "demodulator_error",
+                            "value": f"secondary mode {mode} not supported yet"})
+            return
+        self.secondary.text_cb = lambda text: self.send_json(
+            {"type": "secondary_demod", "value": text})
+        self.send_json({"type": "secondary_config", "value": {
+            "secondary_fft_size": int(Config.get().get("digimodes_fft_size", 2048)),
+            "if_samp_rate": 12000,
+            "secondary_bw": 31.25 if mode.startswith("bpsk") else 170,
+        }})
 
     def select_profile(self, sdr_id: str, profile_id: str):
         self.set_sdr(sdr_id)

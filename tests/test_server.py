@@ -195,3 +195,50 @@ class TestServerEndToEnd:
         finally:
             await server.stop()
             SdrService.stop_all()
+
+
+@pytest.mark.usefixtures("demo_config")
+class TestSecondaryDemod:
+    def test_psk31_text_over_protocol(self):
+        asyncio.run(self._session())
+
+    async def _session(self):
+        from openwebrx_tpu.sdr import SdrService
+        from openwebrx_tpu.web.server import build_router
+        from openwebrx_tpu.web.http import HttpServer
+
+        # add a PSK31 signal to the demo source config
+        cfg = Config.get()
+        sdrs = dict(cfg["sdrs"])
+        sdrs["demo"]["signals"].append(
+            {"kind": "psk", "offset_hz": -60000.0, "amplitude": 0.5,
+             "text": "cq de tpu "})
+        cfg["sdrs"] = sdrs
+        SdrService.load()
+        server = HttpServer(build_router(), port=0, host="127.0.0.1")
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        try:
+            client = await WsTestClient.connect(port)
+            await client.receive()  # CLIENT DE SERVER
+            await client.send_text("SERVER DE CLIENT client=test type=receiver")
+            await client.expect_json("config")
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol", "action": "start"}))
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol",
+                 "params": {"offset_freq": -60000, "mod": "bpsk31"}}))
+            await client.expect_json("secondary_config")
+            # collect decoded text until the message appears
+            text = ""
+            async def gather():
+                nonlocal text
+                while "cq de tpu" not in text:
+                    msg = await client.expect_json("secondary_demod", timeout=60)
+                    text += msg["value"]
+            await asyncio.wait_for(gather(), 90)
+            assert "cq de tpu" in text
+            await client.close()
+        finally:
+            await server.stop()
+            SdrService.stop_all()
