@@ -36,6 +36,7 @@ class ChannelBank:
         self.in_rate = float(in_rate)
         self.mode = mode
         self.capacity = int(capacity)
+        self.compression = compression
         self.chain = ClientDemodulatorChain(in_rate, audio_rate, mode, compression)
         self._offsets = np.zeros(capacity, np.float32)
         self._squelch = np.full(capacity, -150.0, np.float32)

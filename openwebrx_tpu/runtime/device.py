@@ -120,21 +120,25 @@ class ChannelHandle:
         self.runtime = runtime
         self.mode = mode
         self.slot = slot
+        self.bucket_key = BANK_BUCKET[mode]
         self.framer = SyncFramer()
         self.audio_cb = None
         self.smeter_cb = None
         self._smeter_decim = 0
 
     # -- controls ---------------------------------------------------------
+    @property
+    def bank(self):
+        return self.runtime.banks[self.bucket_key]
+
     def set_offset(self, offset_hz: float):
-        self.runtime.banks[BANK_BUCKET[self.mode]].retune(self.slot, offset_hz)
+        self.bank.retune(self.slot, offset_hz)
 
     def set_squelch(self, level_db: float):
-        self.runtime.banks[BANK_BUCKET[self.mode]].set_squelch(self.slot, level_db)
+        self.bank.set_squelch(self.slot, level_db)
 
     def set_bandpass(self, low_hz: float, high_hz: float):
-        self.runtime.banks[BANK_BUCKET[self.mode]].set_bandpass(
-            self.slot, low_hz, high_hz)
+        self.bank.set_bandpass(self.slot, low_hz, high_hz)
 
     def set_mode(self, mode: str, offset_hz: float | None = None):
         """Mode switch = move to another bank (reference: chain surgery)."""
@@ -193,28 +197,37 @@ class DeviceRuntime:
         source.block_size = self.block
 
     # -- channels ---------------------------------------------------------
-    def _get_bank(self, bucket: str) -> ChannelBank:
+    def _get_bank(self, key: str) -> ChannelBank:
+        """key = bucket name, or 'svc:<bucket>' for raw-audio service banks."""
         with self._lock:
-            bank = self.banks.get(bucket)
+            bank = self.banks.get(key)
             if bank is None:
+                service = key.startswith("svc:")
+                bucket = key.split(":", 1)[-1]
                 bank = ChannelBank(self.in_rate, BUCKET_CHAIN_MODE[bucket],
                                    capacity=self.capacity,
                                    audio_rate=self.audio_rate,
-                                   compression=self.compression,
+                                   compression="none" if service else self.compression,
                                    block=self.block)
-                self.banks[bucket] = bank
+                self.banks[key] = bank
             return bank
 
-    def open_channel(self, mode: str, offset_hz: float = 0.0) -> ChannelHandle:
+    def open_channel(self, mode: str, offset_hz: float = 0.0,
+                     service: bool = False) -> ChannelHandle:
+        """service=True → raw int16 audio (for choppers/recorders) from a
+        separate bank with compression 'none' (reference: headless
+        ServiceDemodulatorChain, owrx/service/chain.py)."""
         bucket = BANK_BUCKET[mode]
         if bucket not in self.available_buckets:
             raise KeyError(f"mode {mode} not available at "
                            f"{self.in_rate:.0f} S/s")
-        bank = self._get_bank(bucket)
+        key = f"svc:{bucket}" if service else bucket
+        bank = self._get_bank(key)
         slot = bank.add_channel(offset_hz)
         lo, hi = MODE_BANDPASS[mode]
         bank.set_bandpass(slot, lo, hi)
         handle = ChannelHandle(self, mode, slot)
+        handle.bucket_key = key
         with self._lock:
             self.handles.append(handle)
         return handle
@@ -234,28 +247,30 @@ class DeviceRuntime:
         with self._lock:
             if handle in self.handles:
                 self.handles.remove(handle)
-                self.banks[BANK_BUCKET[handle.mode]].remove_channel(handle.slot)
+                self.banks[handle.bucket_key].remove_channel(handle.slot)
 
     def switch_mode(self, handle: ChannelHandle, mode: str,
                     offset_hz: float | None = None):
-        old_bucket = BANK_BUCKET[handle.mode]
+        service = handle.bucket_key.startswith("svc:")
         new_bucket = BANK_BUCKET[mode]
+        new_key = f"svc:{new_bucket}" if service else new_bucket
         if new_bucket not in self.available_buckets:
             raise KeyError(f"mode {mode} not available at "
                            f"{self.in_rate:.0f} S/s")
         with self._lock:
-            bank = self.banks[old_bucket]
+            bank = self.banks[handle.bucket_key]
             offset = offset_hz if offset_hz is not None else float(
                 bank._offsets[handle.slot])
-            if new_bucket == old_bucket:
+            if new_key == handle.bucket_key:
                 handle.mode = mode
                 lo, hi = MODE_BANDPASS[mode]
                 bank.set_bandpass(handle.slot, lo, hi)
                 return
             bank.remove_channel(handle.slot)
-            new_bank = self._get_bank(new_bucket)
+            new_bank = self._get_bank(new_key)
             handle.slot = new_bank.add_channel(offset)
             handle.mode = mode
+            handle.bucket_key = new_key
             lo, hi = MODE_BANDPASS[mode]
             new_bank.set_bandpass(handle.slot, lo, hi)
             handle.framer = SyncFramer()
@@ -338,12 +353,13 @@ class DeviceRuntime:
                     break
             outputs[bucket] = (y_np, power_np)
         for handle in handles:
-            out = outputs.get(BANK_BUCKET[handle.mode])
+            out = outputs.get(handle.bucket_key)
             if out is None:
                 continue
             y_np, power_np = out
             if handle.audio_cb is not None:
-                if self.compression == "adpcm":
+                bank_comp = banks[handle.bucket_key].compression
+                if bank_comp == "adpcm":
                     b, p, i = (a[handle.slot] for a in y_np)
                     wire = handle.framer.frame(b, p, i)
                 else:

@@ -1,0 +1,140 @@
+"""Background services: automatic decoding of dial frequencies in view.
+
+Reference: ``owrx/service/__init__.py:20-446`` — per-source ServiceHandler
+collects bandplan dial frequencies within the device's passband, builds
+headless demod chains for each enabled decoder, and pushes decodes to
+map/reporting.  (The reference's greedy resampler-grouping optimizer,
+:199-252, is unnecessary here: service channels are bank slots of the
+device runtime's batched programs.)
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+
+from openwebrx_tpu.core.bands import Bandplan
+from openwebrx_tpu.core.config import Config, CoreConfig
+from openwebrx_tpu.core.map import Map, LocatorLocation
+from openwebrx_tpu.core.metrics import Metrics
+from openwebrx_tpu.reporting import ReportingEngine
+from openwebrx_tpu.services.chopper import AudioChopper
+from openwebrx_tpu.services.wsjt import PROFILES
+from openwebrx_tpu.sources.base import SdrClientClass, SdrSourceEventClient, SdrSourceState
+
+logger = logging.getLogger(__name__)
+
+# decoders the audio-chopper service path supports today; packet/aircraft
+# style subprocess pipelines attach here as they are added
+CHOPPER_MODES = set(PROFILES.keys())
+
+
+class ServiceHandler(SdrSourceEventClient):
+    """Runs background decoders on one device (reference ServiceHandler)."""
+
+    def __init__(self, runtime):
+        self.runtime = runtime
+        self.source = runtime.source
+        self.services: list[dict] = []
+        self._lock = threading.Lock()
+        self.source.add_client(self)
+        self.source.props.subscribe(self._on_props)
+
+    def get_client_class(self) -> SdrClientClass:
+        return SdrClientClass.BACKGROUND
+
+    def on_state_change(self, state: SdrSourceState):
+        if state is SdrSourceState.RUNNING:
+            self.update_services()
+        elif state is SdrSourceState.STOPPED:
+            self.stop_services()
+
+    def _on_props(self, changes: dict):
+        if "center_freq" in changes or "samp_rate" in changes:
+            self.update_services()
+
+    def update_services(self):
+        self.stop_services()
+        config = Config.get()
+        enabled = [d for d in config.get("services_decoders", [])
+                   if d in CHOPPER_MODES]
+        if not enabled:
+            return
+        center = self.source.get_center_freq()
+        half = self.source.get_sample_rate() / 2
+        dials = Bandplan.shared().collect_dial_frequencies(center - half,
+                                                           center + half)
+        with self._lock:
+            for dial in dials:
+                if dial["mode"] not in enabled:
+                    continue
+                try:
+                    self._start_service(dial["mode"], dial["frequency"], center)
+                except Exception:
+                    logger.exception("failed to start %s service", dial["mode"])
+        logger.info("source %s: %d background services running",
+                    self.source.id, len(self.services))
+
+    def _start_service(self, mode: str, dial_freq: float, center: float):
+        profile = PROFILES[mode]()
+        handle = self.runtime.open_channel("usb", dial_freq - center,
+                                           service=True)
+        chopper = AudioChopper(
+            profile, int(dial_freq),
+            CoreConfig.defaults["temporary_directory"],
+            lambda spot, m=mode, f=dial_freq: self._on_spot(spot, m, f))
+        handle.audio_cb = chopper.write
+        self.services.append({"mode": mode, "dial": dial_freq,
+                              "handle": handle, "chopper": chopper})
+
+    def _on_spot(self, spot: dict, mode: str, dial_freq: float):
+        band = Bandplan.shared().find_band(dial_freq)
+        band_name = band.get_name() if band else "unknown"
+        Metrics.shared().counter(f"wsjt.decodes.{band_name}.{spot.get('mode', mode)}").inc()
+        if "callsign" in spot and "locator" in spot:
+            try:
+                Map.shared().update_location(
+                    spot["callsign"], LocatorLocation(spot["locator"]),
+                    spot.get("mode", mode), band_name)
+            except ValueError:
+                pass
+            ReportingEngine.shared().spot(spot)
+        if "callsign" in spot and "callee" in spot:
+            Map.shared().update_call(spot["callsign"], spot["callee"],
+                                     spot.get("mode", mode), band_name)
+
+    def stop_services(self):
+        with self._lock:
+            for svc in self.services:
+                svc["handle"].close()
+                svc["chopper"].close()
+            self.services = []
+
+    def shutdown(self):
+        self.stop_services()
+        self.source.remove_client(self)
+
+
+class Services:
+    """Registry of service handlers (reference Services.start,
+    owrx/service/__init__.py:386)."""
+
+    handlers: list[ServiceHandler] = []
+
+    @classmethod
+    def start(cls):
+        config = Config.get()
+        if not config.get("services_enabled"):
+            return
+        from openwebrx_tpu.sdr import SdrService
+        for sdr_id in list(SdrService.get_sources()):
+            runtime = SdrService.get_device(sdr_id)
+            if runtime is not None:
+                cls.handlers.append(ServiceHandler(runtime))
+                runtime.start()
+
+    @classmethod
+    def stop(cls):
+        for h in cls.handlers:
+            h.shutdown()
+        cls.handlers = []

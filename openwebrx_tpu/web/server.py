@@ -92,6 +92,10 @@ async def main_async(args):
     if failed:
         raise SystemExit(f"missing core requirements: {failed}")
     SdrService.load()
+    # boot ordering per reference owrx/__main__.py:138-158: sources →
+    # background services → web server
+    from openwebrx_tpu.services.engine import Services
+    Services.start()
     router = build_router()
     server = HttpServer(router, port=args.port)
     await server.start()
@@ -106,6 +110,7 @@ async def main_async(args):
     await stop.wait()
     logger.info("shutting down")
     await server.stop()
+    Services.stop()
     SdrService.stop_all()
 
 

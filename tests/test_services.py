@@ -1,0 +1,93 @@
+"""Service decode pipeline: chopper → queue → decoder subprocess → parser."""
+
+import os
+import stat
+import time
+
+import numpy as np
+import pytest
+
+from openwebrx_tpu.services.wsjt import (
+    Ft8Profile, WsprProfile, WsjtParser, parse_qso_message, parse_beacon_message,
+)
+
+
+class TestWsjtParser:
+    def test_ft8_line(self):
+        p = WsjtParser()
+        out = p.parse(Ft8Profile(), 14074000,
+                      b"222100 -15 -0.0  508 ~  CQ EA7MJ IM66")
+        assert out["db"] == -15.0
+        assert out["dt"] == -0.0
+        assert out["freq"] == 14074508
+        assert out["msg"] == "CQ EA7MJ IM66"
+        assert out["callsign"] == "EA7MJ"
+        assert out["locator"] == "IM66"
+        assert out["mode"] == "FT8"
+
+    def test_wspr_line(self):
+        p = WsjtParser()
+        out = p.parse(WsprProfile(), 14095600,
+                      b"2600 -24  0.4   0.001492 -1  G8AXA JO01 33")
+        assert out["db"] == -24.0
+        assert out["freq"] == 14095600 + 1492
+        assert out["drift"] == -1
+        assert out["callsign"] == "G8AXA"
+        assert out["locator"] == "JO01"
+        assert out["dbm"] == "33"
+
+    def test_skips_debug_lines(self):
+        p = WsjtParser()
+        assert p.parse(Ft8Profile(), 0, b"<DecodeFinished>  0  23") is None
+        assert p.parse(Ft8Profile(), 0, b" EOF on input file foo.wav") is None
+
+    def test_signoff_extracts_callee(self):
+        out = parse_qso_message("EA7MJ K1ABC 73")
+        assert out == {"callsign": "K1ABC", "callee": "EA7MJ"}
+
+    def test_beacon(self):
+        assert parse_beacon_message("G8AXA JO01 33") == {
+            "callsign": "G8AXA", "locator": "JO01", "dbm": "33"}
+
+
+@pytest.fixture()
+def fake_decoder(tmp_path):
+    """A decoder 'binary' printing one canned FT8 decode line."""
+    script = tmp_path / "fake_jt9"
+    script.write_text(
+        "#!/bin/sh\n"
+        "echo '222100 -15 -0.0  508 ~  CQ EA7MJ IM66'\n"
+        "echo '<DecodeFinished>  0  1'\n")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    return str(script)
+
+
+class TestChopperPipeline:
+    def test_end_to_end(self, tmp_path, fake_decoder):
+        from openwebrx_tpu.services.chopper import AudioChopper
+        from openwebrx_tpu.services.queue import DecoderQueue
+
+        class FastProfile(Ft8Profile):
+            interval = 1
+
+            def decoder_commandline(self, file):
+                return [fake_decoder, file]
+
+        DecoderQueue.reset()
+        spots = []
+        chopper = AudioChopper(FastProfile(), 14074000, str(tmp_path),
+                               spots.append, skew=0.0)
+        audio = (np.sin(np.arange(2400) * 0.3) * 8000).astype(np.int16)
+        deadline = time.time() + 10
+        while not spots and time.time() < deadline:
+            chopper.write(audio.tobytes())
+            time.sleep(0.1)
+        chopper.close()
+        DecoderQueue.reset()
+        assert spots, "no spots decoded"
+        assert spots[0]["callsign"] == "EA7MJ"
+        assert spots[0]["freq"] == 14074508
+        # wav files are cleaned up after decode
+        time.sleep(0.3)
+        leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".wav")]
+        assert leftovers == [], f"undeleted wav files: {leftovers}"
