@@ -122,6 +122,14 @@ class ReceiverConnection:
         self.send_json({"type": "modes", "value": modes_json()})
         self._send_profiles()
         sender = asyncio.get_running_loop().create_task(self._sender())
+        from openwebrx_tpu.core.cpu import CpuUsageThread
+
+        def on_cpu(usage, temp):
+            self.send_json({"type": "cpuusage", "value": usage})
+            if temp is not None:
+                self.send_json({"type": "temperature", "value": temp})
+
+        CpuUsageThread.shared().subscribe(on_cpu)
         try:
             self.set_sdr()
             while not self.closed:
@@ -137,6 +145,7 @@ class ReceiverConnection:
             logger.exception("receiver connection failed")
         finally:
             self.closed = True
+            CpuUsageThread.shared().unsubscribe(on_cpu)
             sender.cancel()
             self.teardown()
 
@@ -159,6 +168,42 @@ class ReceiverConnection:
             if "start_freq" in props:
                 cfg["start_offset_freq"] = props["start_freq"] - cfg["center_freq"]
         self.send_json({"type": "config", "value": cfg})
+        self._send_view_data()
+
+    def _send_view_data(self):
+        """Bands / bookmarks / dial frequencies for the visible range
+        (reference sendBands/sendBookmarks, owrx/connection.py:224-258)."""
+        if self.device is None:
+            return
+        from openwebrx_tpu.core.bands import Bandplan
+        from openwebrx_tpu.core.bookmarks import Bookmarks
+        center = self.device.source.get_center_freq()
+        half = self.device.source.get_sample_rate() / 2
+        low, high = center - half, center + half
+        bands = Bandplan.shared().find_bands_in_range(low, high)
+        self.send_json({"type": "bands", "value": [
+            {"name": b.get_name(), "low_bound": b.get_bounds()[0],
+             "high_bound": b.get_bounds()[1], "tags": b.get_tags()}
+            for b in bands]})
+        self.send_json({"type": "dial_frequencies",
+                        "value": Bandplan.shared().collect_dial_frequencies(low, high)})
+        self.send_json({"type": "bookmarks", "value": [
+            b.to_json() for b in Bookmarks.shared().get_bookmarks((low, high))]})
+
+    # -- registry-facing writers (reference write_* surface) ---------------
+    def write_clients(self, count: int):
+        self.send_json({"type": "clients", "value": count})
+
+    def write_chat_message(self, name: str, text: str, color: str):
+        self.send_json({"type": "chat_message", "name": name, "text": text,
+                        "color": color})
+
+    def write_log_message(self, message: str):
+        self.send_json({"type": "log_message", "value": message})
+
+    def close_banned(self):
+        self.send_json({"type": "backoff", "reason": "Client address banned"})
+        self.closed = True
 
     # ----------------------------------------------------------- devices --
     def set_sdr(self, sdr_id: str | None = None):
@@ -241,7 +286,9 @@ class ReceiverConnection:
             self.set_dsp_properties(params)
         elif mtype == "sendmessage":
             if "text" in msg:
-                self.registry.broadcast_chat(msg.get("name"), msg["text"])
+                from openwebrx_tpu.core.clients import ClientRegistry
+                ClientRegistry.shared().broadcast_chat_message(
+                    self, msg["text"], msg.get("name"))
         else:
             logger.warning("unknown message type: %s", mtype)
 
@@ -300,6 +347,15 @@ class ReceiverConnection:
         }})
 
     def select_profile(self, sdr_id: str, profile_id: str):
+        # rapid profile flipping → suspected robot → timed ban (reference
+        # owrx/connection.py:384-398)
+        from openwebrx_tpu.core.clients import ClientRegistry, RobotScore
+        if not hasattr(self, "_robot_score"):
+            self._robot_score = RobotScore()
+        cfg = Config.get()
+        if self._robot_score.record_change() and cfg.get("bot_ban_enabled", True):
+            ClientRegistry.shared().ban(getattr(self, "ip", "unknown"), 12 * 60)
+            return
         self.set_sdr(sdr_id)
         if self.device is not None:
             self.device.source.activate_profile(profile_id)
@@ -309,6 +365,10 @@ class ReceiverConnection:
 async def handle_websocket(request, registry):
     """HTTP upgrade → handshake → ReceiverConnection (reference
     HandshakeMessageHandler, owrx/connection.py:595-648)."""
+    from openwebrx_tpu.core.clients import (
+        ClientRegistry, BannedClientError, TooManyClientsError,
+    )
+
     ws = WebSocketConnection(request.reader, request.writer)
     request.writer.write(ws.upgrade_response(request.headers))
     await request.writer.drain()
@@ -324,8 +384,79 @@ async def handle_websocket(request, registry):
     ws.start_keepalive()
     ctype = dict(part.split("=", 1) for part in greeting.split()[3:]
                  if "=" in part).get("type", "receiver")
+    peer = request.writer.get_extra_info("peername")
+    ip = request.headers.get("x-forwarded-for",
+                             peer[0] if peer else "unknown").split(",")[0].strip()
     if ctype == "receiver":
         conn = ReceiverConnection(ws, registry)
+        try:
+            ClientRegistry.shared().add_client(conn, ip)
+        except BannedClientError:
+            await ws.send_text(json.dumps({"type": "backoff",
+                                           "reason": "Client address banned"}))
+            await ws.close()
+            return
+        except TooManyClientsError:
+            await ws.send_text(json.dumps({"type": "backoff",
+                                           "reason": "Too many clients"}))
+            await ws.close()
+            return
+        try:
+            await conn.run()
+        finally:
+            ClientRegistry.shared().remove_client(conn)
+    elif ctype == "map":
+        conn = MapConnection(ws)
         await conn.run()
     else:
         await ws.close()
+
+
+class MapConnection:
+    """Map client: full dump on join + incremental updates (reference
+    MapConnection, owrx/connection.py:571-594)."""
+
+    def __init__(self, ws: WebSocketConnection):
+        self.ws = ws
+        self.loop = asyncio.get_running_loop()
+        self.queue: asyncio.Queue = asyncio.Queue(maxsize=100)
+
+    async def run(self):
+        from openwebrx_tpu.core.map import Map
+
+        config = Config.get()
+        await self.ws.send_text(json.dumps({"type": "config", "value": {
+            k: config.get(k) for k in
+            ("google_maps_api_key", "receiver_gps", "map_position_retention_time",
+             "map_call_retention_time", "map_type", "callsign_url", "vessel_url")
+        }}))
+        await self.ws.send_text(json.dumps(
+            {"type": "update", "value": Map.shared().full_dump()}))
+
+        def on_update(updates):
+            def put():
+                try:
+                    self.queue.put_nowait(updates)
+                except asyncio.QueueFull:
+                    pass
+            self.loop.call_soon_threadsafe(put)
+
+        Map.shared().subscribe(on_update)
+        sender = self.loop.create_task(self._sender())
+        try:
+            while True:
+                await self.ws.receive()
+        except (WebSocketClosed, ConnectionError):
+            pass
+        finally:
+            Map.shared().unsubscribe(on_update)
+            sender.cancel()
+
+    async def _sender(self):
+        try:
+            while True:
+                updates = await self.queue.get()
+                await self.ws.send_text(json.dumps(
+                    {"type": "update", "value": updates}))
+        except (WebSocketClosed, ConnectionError, asyncio.CancelledError):
+            pass
