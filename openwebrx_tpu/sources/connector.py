@@ -81,13 +81,55 @@ class ConnectorSource(SdrSource):
     def _run_stream(self):
         self._spawn_driver()
         try:
-            data_sock = self._connect(self.props.get("port", 4950))
             ctrl_port = self.props.get("control_port")
+            host = self.props.get("host", "127.0.0.1")
+            port = int(self.props.get("port", 4950))
             if ctrl_port:
                 self._control = self._connect(ctrl_port)
-            buf = bytearray()
-            want = self.block_size * 8  # complex64
-            data_sock.settimeout(2.0)
+            from openwebrx_tpu import native
+            if native.available() and not self.props.get("force_python_ingest"):
+                self._run_native(host, port)
+            else:
+                self._run_python(host, port)
+        finally:
+            self._teardown()
+
+    def _run_native(self, host: str, port: int):
+        """Native ring-buffered ingest (native/iq_ingest.cpp): the socket is
+        drained off-GIL; we pull fixed blocks for the device runtime."""
+        from openwebrx_tpu import native
+        fmt = {"f32": native.FORMAT_F32, "s16": native.FORMAT_S16,
+               "u8": native.FORMAT_U8}[self.props.get("iq_format", "f32")]
+        ingest = native.IqIngest(max(self.block_size * 8, 1 << 22))
+        last = None
+        for _ in range(40):
+            if self._stop_requested:
+                return
+            try:
+                ingest.connect(host, port, fmt)
+                break
+            except ConnectionError as e:
+                last = e
+                time.sleep(0.25)
+        else:
+            raise ConnectionError(f"driver port {port} never came up: {last}")
+        try:
+            while not self._stop_requested:
+                block = ingest.read_block(self.block_size, timeout=2.0)
+                if block is None:
+                    if ingest.eof:
+                        raise ConnectionError("driver closed IQ stream")
+                    continue
+                self._deliver(block)
+        finally:
+            ingest.close()
+
+    def _run_python(self, host: str, port: int):
+        data_sock = self._connect(port)
+        buf = bytearray()
+        want = self.block_size * 8  # complex64
+        data_sock.settimeout(2.0)
+        try:
             while not self._stop_requested:
                 try:
                     chunk = data_sock.recv(1 << 18)
@@ -101,7 +143,7 @@ class ConnectorSource(SdrSource):
                     del buf[:want]
                     self._deliver(block)
         finally:
-            self._teardown()
+            data_sock.close()
 
     def _teardown(self):
         if self._control is not None:
