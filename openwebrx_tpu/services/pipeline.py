@@ -1,0 +1,122 @@
+"""Subprocess decoder pipelines: stream audio/IQ bytes through external
+binaries and collect their output.
+
+Reference: ``csdr/module/__init__.py:173-231`` (PopenModule with pump
+threads, LineBasedModule line splitting, JsonParser) and the ExecModule
+restart semantics (``csdr/module/toolbox.py:78-91``).  This is the host
+glue that keeps all the reference's external decoders working (direwolf,
+rtl_433, multimon-ng, dump1090, dumphfdl, dumpvdl2, acarsdec, redsea,
+lame, …): the TPU chains produce demodulated streams, these pipelines
+parse the binaries' stdout back into events.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import subprocess
+import threading
+
+logger = logging.getLogger(__name__)
+
+
+class SubprocessPipeline:
+    """feed(bytes) → binary's stdin; stdout lines → on_line(bytes).
+
+    Writer runs on the caller's thread (device runtime / pump); a reader
+    thread drains stdout so the child never blocks.  restart() replaces
+    the child process keeping the pipeline object (reference ExecModule
+    setArgs/restart).
+    """
+
+    def __init__(self, commandline: list[str], on_line, line_based: bool = True,
+                 on_exit=None):
+        self.commandline = commandline
+        self.on_line = on_line
+        self.line_based = line_based
+        self.on_exit = on_exit
+        self._proc: subprocess.Popen | None = None
+        self._reader: threading.Thread | None = None
+        self._lock = threading.RLock()
+        self._closed = False
+        self.start()
+
+    def start(self):
+        with self._lock:
+            self._proc = subprocess.Popen(
+                self.commandline, stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+            self._reader = threading.Thread(target=self._drain, daemon=True,
+                                            name=f"pipe-{self.commandline[0]}")
+            self._reader.start()
+
+    def _drain(self):
+        proc = self._proc
+        try:
+            if self.line_based:
+                for line in proc.stdout:
+                    self.on_line(line.rstrip(b"\n"))
+            else:
+                while True:
+                    chunk = proc.stdout.read(4096)
+                    if not chunk:
+                        break
+                    self.on_line(chunk)
+        except (OSError, ValueError):
+            pass
+        finally:
+            if self.on_exit is not None and not self._closed:
+                try:
+                    self.on_exit()
+                except Exception:
+                    logger.exception("pipeline exit handler failed")
+
+    def feed(self, data: bytes):
+        with self._lock:
+            if self._proc is None or self._proc.poll() is not None:
+                return
+            try:
+                self._proc.stdin.write(data)
+                self._proc.stdin.flush()
+            except (BrokenPipeError, OSError):
+                logger.warning("decoder %s pipe broken", self.commandline[0])
+
+    def restart(self, commandline: list[str] | None = None):
+        if commandline is not None:
+            self.commandline = commandline
+        self._terminate()
+        self.start()
+
+    def _terminate(self):
+        with self._lock:
+            proc, self._proc = self._proc, None
+        if proc is not None:
+            try:
+                proc.stdin.close()
+            except OSError:
+                pass
+            proc.terminate()
+            try:
+                proc.wait(timeout=3)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+
+    def close(self):
+        self._closed = True
+        self._terminate()
+
+
+class JsonLinePipeline(SubprocessPipeline):
+    """Line-based pipeline parsing each stdout line as JSON → on_event(dict)
+    (reference JsonParser; rtl_433/dumphfdl/dumpvdl2 style)."""
+
+    def __init__(self, commandline, on_event, **kwargs):
+        self.on_event = on_event
+        super().__init__(commandline, self._parse, **kwargs)
+
+    def _parse(self, line: bytes):
+        try:
+            self.on_event(json.loads(line))
+        except json.JSONDecodeError:
+            logger.debug("non-json decoder output: %r", line[:80])
