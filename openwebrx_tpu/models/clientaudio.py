@@ -10,7 +10,7 @@ from fractions import Fraction
 
 from openwebrx_tpu.models.stages import (
     FirDecimateStage, FractionalDecimatorStage, LimitStage, AdpcmEncodeStage,
-    FloatToShortStage,
+    FloatToShortStage, NoiseFilterStage,
 )
 from openwebrx_tpu.runtime.chain import Chain
 
@@ -29,6 +29,8 @@ class ClientAudioChain(Chain):
                                                 transition_bw=0.15 * frac.denominator ** -1))
             else:
                 workers.append(FractionalDecimatorStage(frac.numerator, frac.denominator))
+        self.noise_filter = NoiseFilterStage()
+        workers.append(self.noise_filter)
         workers.append(LimitStage())
         if compression == "adpcm":
             workers.append(AdpcmEncodeStage())

@@ -462,6 +462,42 @@ class WaterfallStage(OpStage):
 
 
 # ------------------------------------------------------------ client audio --
+class NoiseFilterStage(OpStage):
+    """Spectral NR (reference NoiseFilter, csdr/chain/clientaudio.py:14).
+
+    The threshold is a per-channel traced param; −100 dB ≈ passthrough, so
+    banks keep one structure and each listener toggles NR independently.
+    """
+
+    name = "noise_filter"
+
+    def __init__(self, threshold_db=-100.0):
+        self._threshold = threshold_db
+
+    def set_threshold(self, threshold_db):
+        """Scalar or per-channel array (dB); ≤ −100 disables."""
+        self._threshold = threshold_db
+
+    def divisor(self, in_spec):
+        from openwebrx_tpu.ops import noisefilter
+        return noisefilter.HOP
+
+    def init_state(self, batch_shape=()):
+        from openwebrx_tpu.ops import noisefilter
+        return noisefilter.nr_init(batch_shape)
+
+    def params(self):
+        return jnp.asarray(self._threshold, jnp.float32)
+
+    def apply(self, state, params, x):
+        from openwebrx_tpu.ops import noisefilter
+        state, y = noisefilter.nr_apply(state, params, x)
+        return state, y, {}
+
+    def signature(self):
+        return ("noise_filter",)
+
+
 class AdpcmEncodeStage(OpStage):
     """IMA ADPCM encode (reference AdpcmEncoder(sync=True),
     csdr/chain/clientaudio.py:34).  Input float [−1,1]; output y is a tuple

@@ -44,6 +44,7 @@ class ChannelBank:
         lo, hi = MODE_BANDPASS[mode]
         self._low = np.full(capacity, float(lo))
         self._high = np.full(capacity, float(hi))
+        self._nr = np.full(capacity, -100.0, np.float32)  # ≤ −100 ⇒ NR off
         spec = StreamSpec(Format.COMPLEX_FLOAT, in_rate)
         self.block = block if block is not None else plan_block_size(
             self.chain, spec, target_seconds)
@@ -83,6 +84,12 @@ class ChannelBank:
         self._high[slot] = high_hz
         self._push_params()
 
+    def set_nr(self, slot: int, threshold_db: float):
+        """Per-listener noise reduction (reference nr_enabled/nr_threshold
+        dspcontrol params); threshold ≤ −100 dB disables."""
+        self._nr[slot] = threshold_db
+        self._push_params()
+
     @property
     def active_slots(self) -> np.ndarray:
         return np.flatnonzero(self._active)
@@ -95,6 +102,7 @@ class ChannelBank:
         self.chain.selector.shift.set_rate(-self._offsets / self.in_rate)
         self.chain.selector.squelch.set_level(self._squelch)
         self.chain.selector.set_bandpass(self._low, self._high)
+        self.chain.audio.noise_filter.set_threshold(self._nr)
 
     # ------------------------------------------------------------ stream --
     def process(self, iq_block):

@@ -140,6 +140,9 @@ class ChannelHandle:
     def set_bandpass(self, low_hz: float, high_hz: float):
         self.bank.set_bandpass(self.slot, low_hz, high_hz)
 
+    def set_nr(self, threshold_db: float):
+        self.bank.set_nr(self.slot, threshold_db)
+
     def set_mode(self, mode: str, offset_hz: float | None = None):
         """Mode switch = move to another bank (reference: chain surgery)."""
         self.runtime.switch_mode(self, mode, offset_hz)

@@ -322,6 +322,11 @@ class ReceiverConnection:
         if "low_cut" in params and "high_cut" in params:
             self.handle.set_bandpass(float(params["low_cut"]),
                                      float(params["high_cut"]))
+        if "nr_enabled" in params or "nr_threshold" in params:
+            self._nr_enabled = params.get("nr_enabled", getattr(self, "_nr_enabled", False))
+            self._nr_threshold = float(params.get("nr_threshold",
+                                                  getattr(self, "_nr_threshold", 0.0)))
+            self.handle.set_nr(self._nr_threshold if self._nr_enabled else -100.0)
 
     def _set_secondary(self, mode: str | None):
         """Attach/detach a digimode decoder (reference secondary demod,
