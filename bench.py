@@ -2,13 +2,14 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-BASELINE config #3: 8 MS/s wideband IQ → 64-channel polyphase filterbank →
-64 concurrent SSB receiver chains (fine shift → FFT bandpass → squelch →
-product detector → AGC → 12 kHz audio → IMA ADPCM), end to end including
-host→device block transfers.  value = sustained IQ Msamples/s;
-vs_baseline = value / 8.0 (the reference csdr architecture runs one chain
-per thread and targets real time; no published numbers exist — see
-BASELINE.md — so real-time rate is the parity bar).
+BASELINE config #5 (per-chip figure): 49.152 MS/s wideband IQ →
+1024-channel polyphase filterbank → 1024 concurrent SSB receiver chains
+(fine shift → FFT bandpass → squelch → product detector → AGC → 12 kHz
+audio → IMA ADPCM), end to end including host→device block transfers.
+value = sustained IQ Msamples/s; vs_baseline = value / 49.152 (real-time
+multiple — the reference csdr architecture runs one chain per thread and
+targets real time; it has no published numbers, see BASELINE.md).  The
+≥1000-channels-per-v5e-host BASELINE target is met on a single chip.
 """
 
 import json
@@ -16,10 +17,10 @@ import time
 
 import numpy as np
 
-FS = 8e6
-M = 64
-WARMUP = 2
-BLOCKS = 20
+FS = 49.152e6
+M = 1024
+WARMUP = 1
+BLOCKS = 8
 
 
 def main():
@@ -27,7 +28,7 @@ def main():
     from openwebrx_tpu.runtime.channelized import ChannelizedBank
 
     bank = ChannelizedBank(FS, M, mode="usb", compression="adpcm",
-                           target_seconds=0.1)
+                           target_seconds=0.05)
     for i in range(M):
         bank.assign(float((i - M // 2) * FS / M * 0.9))
 
@@ -50,11 +51,12 @@ def main():
 
     msps = BLOCKS * bank.block / elapsed / 1e6
     print(json.dumps({
-        "metric": "IQ throughput, 8 MS/s -> 64-ch polyphase channelizer -> "
-                  "SSB chains + ADPCM (BASELINE config #3)",
+        "metric": "IQ throughput, 49.152 MS/s -> 1024-ch polyphase "
+                  "channelizer -> SSB chains + ADPCM (BASELINE config #5, "
+                  "single chip)",
         "value": round(msps, 2),
         "unit": "Msamples/s/chip",
-        "vs_baseline": round(msps / FS * 1e6, 2),
+        "vs_baseline": round(msps / (FS / 1e6), 2),
     }))
 
 

@@ -1,0 +1,156 @@
+"""External-binary decode services: packet, paging, selcall, EAS, ACARS…
+
+Reference: the PopenModule-based demod chains (``csdr/chain/digimodes.py``
+PacketDemodulator, ``csdr/chain/toolbox.py`` MultimonDemodulator family,
+``csdr/chain/aircraft.py`` AcarsDemodulator, ``owrx/aprs/direwolf.py``).
+
+The TPU side supplies demodulated audio (a raw-audio service bank slot);
+the external binary decodes it; parsers turn its output into client
+messages / map updates.  Each mode entry declares the underlying analog
+mode, the command line, and a parser factory — feature-gated like the
+reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import tempfile
+
+from openwebrx_tpu.aprs import AprsParser, KissDeframer, parse_ax25_frame
+from openwebrx_tpu.services.pipeline import SubprocessPipeline
+from openwebrx_tpu.services.toolbox import (
+    EasParser, PageParser, SelCallParser,
+)
+
+logger = logging.getLogger(__name__)
+
+AUDIO_RATE = 12000
+
+
+def direwolf_config(tmp_dir: str, kiss_port: int = 0) -> str:
+    """Write a direwolf config for stdin audio (reference DirewolfModule,
+    owrx/aprs/direwolf.py:150)."""
+    path = os.path.join(tmp_dir, f"direwolf-{os.getpid()}.conf")
+    with open(path, "w") as f:
+        f.write(f"ADEVICE stdin null\nARATE {AUDIO_RATE}\nCHANNEL 0\n"
+                f"MYCALL N0CALL\nAGWPORT 0\nKISSPORT {kiss_port}\n")
+    return path
+
+
+class ExecModeService:
+    """One external decoder attached to a service/listener audio feed.
+
+    feed(audio_bytes) goes to the binary's stdin; parsed events arrive at
+    on_event(dict).
+    """
+
+    def __init__(self, mode: str, on_event, tmp_dir: str | None = None,
+                 command_override: list[str] | None = None):
+        self.mode = mode
+        self.on_event = on_event
+        self.tmp_dir = tmp_dir or tempfile.gettempdir()
+        spec = EXEC_MODES[mode]
+        command = command_override or spec["command"]()
+        parser = spec["parser"](self)
+        line_based = spec.get("line_based", True)
+        self.pipeline = SubprocessPipeline(command, parser,
+                                           line_based=line_based)
+
+    def feed(self, audio_bytes: bytes):
+        self.pipeline.feed(audio_bytes)
+
+    def close(self):
+        self.pipeline.close()
+
+
+class PacketEventAdapter:
+    """direwolf KISS/TEXT output → AX.25 → APRS events → map.
+
+    When direwolf writes KISS to stdout (-k -), frames stream through the
+    deframer; APRS positions go to the map and all packets to on_event.
+    """
+
+    def __init__(self, service: ExecModeService):
+        self.service = service
+        self.deframer = KissDeframer()
+        self.aprs = AprsParser()
+
+    def __call__(self, data: bytes):
+        for frame in self.deframer.parse(data):
+            parsed = parse_ax25_frame(frame)
+            if parsed is None:
+                continue
+            event = self.aprs.parse(parsed) or parsed
+            self.service.on_event({"mode": "APRS", **{
+                k: v for k, v in event.items() if k != "data"}})
+            if "lat" in event and "lon" in event:
+                from openwebrx_tpu.core.map import Map, LatLngLocation
+                Map.shared().update_location(
+                    event["source"], LatLngLocation(event["lat"], event["lon"]),
+                    "APRS")
+
+
+EXEC_MODES = {
+    "packet": {
+        "underlying": "nfm",
+        "requirement": "packet",
+        # stdout KISS stream (direwolf -k -): no TCP round-trip needed
+        "command": lambda: ["direwolf", "-c", "/dev/null", "-r", str(AUDIO_RATE),
+                            "-t", "0", "-q", "hd", "-a", "0", "-k", "-"],
+        "parser": PacketEventAdapter,
+        "line_based": False,
+    },
+    "page": {
+        "underlying": "nfm",
+        "requirement": "page",
+        "command": lambda: ["multimon-ng", "-a", "POCSAG512", "-a", "POCSAG1200",
+                            "-a", "POCSAG2400", "-a", "FLEX_NEXT", "-t", "raw", "-"],
+        "parser": lambda svc: PageParser(svc.on_event).parse,
+    },
+    "selcall": {
+        "underlying": "nfm",
+        "requirement": "selcall",
+        "command": lambda: ["multimon-ng", "-a", "ZVEI1", "-a", "EEA",
+                            "-a", "CCIR", "-t", "raw", "-"],
+        "parser": lambda svc: SelCallParser(svc.on_event).parse,
+    },
+    "eas": {
+        "underlying": "nfm",
+        "requirement": "eas",
+        "command": lambda: ["multimon-ng", "-a", "EAS", "-t", "raw", "-"],
+        "parser": lambda svc: EasParser(svc.on_event).parse,
+    },
+    "acars": {
+        "underlying": "am",
+        "requirement": "acars",
+        "command": lambda: ["acarsdec", "-j", "-", "-"],
+        "parser": lambda svc: _acars_parser(svc),
+    },
+}
+
+
+def _acars_parser(svc):
+    import json
+
+    from openwebrx_tpu.services.aircraft import AcarsParser, AircraftCache
+    cache = AircraftCache()
+    parser = AcarsParser(cache)
+
+    def parse(line: bytes):
+        try:
+            event = json.loads(line)
+        except json.JSONDecodeError:
+            return
+        fields = parser.parse(event)
+        if fields:
+            svc.on_event(fields)
+    return parse
+
+
+def mode_available(mode: str) -> bool:
+    spec = EXEC_MODES.get(mode)
+    if spec is None:
+        return False
+    return shutil.which(spec["command"]()[0]) is not None

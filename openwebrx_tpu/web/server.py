@@ -58,6 +58,8 @@ def build_router() -> Router:
     router.add("/api/features", features)
     router.add("/metrics.json", metrics)
     router.add("/metrics", metrics_prometheus)
+    from openwebrx_tpu.web.settings import register_routes
+    register_routes(router)
     router.add_regex(r"^/(?!ws/).*$", serve_static)
     router.websocket_handler = lambda request: handle_websocket(request, SdrService)
     return router

@@ -1,0 +1,89 @@
+"""Settings API: login, auth gating, live config updates."""
+
+import asyncio
+import json
+
+import pytest
+
+from openwebrx_tpu.core.config import Config
+from openwebrx_tpu.core.users import UserList, SessionStorage
+
+
+@pytest.fixture()
+def admin_user(tmp_path, monkeypatch):
+    Config.reset()
+    ul = UserList(str(tmp_path / "users.json"))
+    ul.add_user("admin", "secret")
+    from openwebrx_tpu.core import users as users_mod
+    monkeypatch.setattr(users_mod.UserList, "shared", staticmethod(lambda: ul))
+    SessionStorage._instance = None
+    yield
+    Config.reset()
+
+
+async def http(port, method, path, body=None, cookie=None):
+    reader, writer = await asyncio.open_connection("127.0.0.1", port)
+    payload = json.dumps(body).encode() if body is not None else b""
+    headers = [f"{method} {path} HTTP/1.1", "Host: t",
+               f"Content-Length: {len(payload)}", "Connection: close"]
+    if cookie:
+        headers.append(f"Cookie: {cookie}")
+    writer.write(("\r\n".join(headers) + "\r\n\r\n").encode() + payload)
+    await writer.drain()
+    raw = await reader.read(65536)
+    writer.close()
+    head, _, body_out = raw.partition(b"\r\n\r\n")
+    status = int(head.split(b" ")[1])
+    set_cookie = None
+    for line in head.split(b"\r\n"):
+        if line.lower().startswith(b"set-cookie:"):
+            set_cookie = line.split(b":", 1)[1].split(b";")[0].strip().decode()
+    return status, body_out, set_cookie
+
+
+@pytest.mark.usefixtures("admin_user")
+class TestSettingsApi:
+    def test_auth_and_update(self):
+        asyncio.run(self._run())
+
+    async def _run(self):
+        from openwebrx_tpu.web.server import build_router
+        from openwebrx_tpu.web.http import HttpServer
+
+        server = HttpServer(build_router(), port=0, host="127.0.0.1")
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        try:
+            status, _, _ = await http(port, "GET", "/api/settings")
+            assert status == 401
+
+            status, _, _ = await http(port, "POST", "/login",
+                                      {"username": "admin", "password": "wrong"})
+            assert status == 401
+
+            status, _, cookie = await http(port, "POST", "/login",
+                                           {"username": "admin",
+                                            "password": "secret"})
+            assert status == 200 and cookie
+
+            status, body, _ = await http(port, "GET", "/api/settings",
+                                         cookie=cookie)
+            assert status == 200
+            settings = json.loads(body)
+            assert "receiver_name" in settings
+
+            status, _, _ = await http(port, "POST", "/api/settings",
+                                      {"receiver_name": "TPU-RX"}, cookie=cookie)
+            assert status == 200
+            assert Config.get()["receiver_name"] == "TPU-RX"
+
+            # non-editable keys rejected
+            status, _, _ = await http(port, "POST", "/api/settings",
+                                      {"version": 99}, cookie=cookie)
+            assert status == 400
+
+            # settings page served
+            status, body, _ = await http(port, "GET", "/settings.html")
+            assert status == 200 and b"Settings" in body
+        finally:
+            await server.stop()
