@@ -17,12 +17,14 @@ from openwebrx_tpu.runtime.chain import Chain, Program
 # demodulator factory by mode string (reference owrx/dsp.py:595-652)
 DEMOD_FACTORY = {
     "nfm": lambda: NFm(),
-    "wfm": lambda: WFm(),
+    "wfm": lambda: WFm(audio_rate=48000),
     "am": lambda: Am(),
     "sam": lambda: SAm(),
     "lsb": lambda: Ssb(),
     "usb": lambda: Ssb(),
     "cw": lambda: Ssb(),
+    "rawam": lambda: RawAm(),
+    "usbd": lambda: Ssb(),
 }
 
 # default passbands per mode (reference owrx/modes.py bandpasses)
@@ -34,6 +36,8 @@ MODE_BANDPASS = {
     "lsb": (-3000, -300),
     "usb": (300, 3000),
     "cw": (400, 900),
+    "rawam": (-10000, 10000),
+    "usbd": (300, 12000),
 }
 
 

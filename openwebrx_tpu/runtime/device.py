@@ -35,9 +35,10 @@ logger = logging.getLogger(__name__)
 BANK_BUCKET = {
     "nfm": "nfm", "am": "am", "sam": "sam", "wfm": "wfm",
     "lsb": "ssb", "usb": "ssb", "cw": "ssb",
+    "rawam": "rawam", "usbd": "usbd",
 }
 BUCKET_CHAIN_MODE = {"nfm": "nfm", "am": "am", "sam": "sam", "wfm": "wfm",
-                     "ssb": "usb"}
+                     "ssb": "usb", "rawam": "rawam", "usbd": "usbd"}
 
 
 class SecondaryHandle:
@@ -207,9 +208,11 @@ class DeviceRuntime:
             if bank is None:
                 service = key.startswith("svc:")
                 bucket = key.split(":", 1)[-1]
+                # WFM listeners get HD audio (48 kHz, reference 0x04 frames)
+                audio_rate = 48000.0 if bucket == "wfm" else self.audio_rate
                 bank = ChannelBank(self.in_rate, BUCKET_CHAIN_MODE[bucket],
                                    capacity=self.capacity,
-                                   audio_rate=self.audio_rate,
+                                   audio_rate=audio_rate,
                                    compression="none" if service else self.compression,
                                    block=self.block)
                 self.banks[key] = bank
@@ -367,7 +370,7 @@ class DeviceRuntime:
                     wire = handle.framer.frame(b, p, i)
                 else:
                     wire = y_np[handle.slot].tobytes()
-                handle.audio_cb(wire)
+                handle.audio_cb(wire, handle.bucket_key.endswith("wfm"))
             if handle.smeter_cb is not None and power_np is not None:
                 # 4 reports/s from 16 measurements/s (reference
                 # csdr/chain/selector.py:104-105)

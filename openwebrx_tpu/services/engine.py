@@ -83,7 +83,7 @@ class ServiceHandler(SdrSourceEventClient):
             profile, int(dial_freq),
             CoreConfig.defaults["temporary_directory"],
             lambda spot, m=mode, f=dial_freq: self._on_spot(spot, m, f))
-        handle.audio_cb = chopper.write
+        handle.audio_cb = lambda wire, hd=False, c=chopper: c.write(wire)
         self.services.append({"mode": mode, "dial": dial_freq,
                               "handle": handle, "chopper": chopper})
 

@@ -234,8 +234,9 @@ class ReceiverConnection:
     def _on_waterfall(self, payload: bytes):
         self.send_binary(0x01, payload)
 
-    def _on_audio(self, wire: bytes):
-        self.send_binary(0x02, wire)
+    def _on_audio(self, wire: bytes, hd: bool = False):
+        # 0x04 = HD (48 kHz) audio for WFM, 0x02 = regular 12 kHz
+        self.send_binary(0x04 if hd else 0x02, wire)
 
     def _on_smeter(self, level_db: float):
         self.send_json({"type": "smeter", "value": level_db})
