@@ -1,0 +1,66 @@
+"""Pod-scale receiver: the ChannelizedBank sharded over a device mesh.
+
+BASELINE config #5: wideband IQ → PFB → 1000+ channels across N chips.
+Sharding layout (SURVEY §5.8):
+
+- the IQ block is REPLICATED (every chip runs the full PFB — its cost is
+  tiny next to the per-channel chains) or optionally time-sharded through
+  the halo FIR frontend;
+- the channelizer's channel axis and every per-channel state/param array
+  are sharded over the mesh's "chan" axis, so each chip demodulates its
+  frequency slab of channels;
+- XLA partitions the single jitted step; the only collectives are the
+  (small) gathers XLA inserts around the replicated input.
+
+``shard_channelized_bank`` rewires an existing ChannelizedBank's state and
+params onto a mesh and returns a step function — the same program, now
+SPMD.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_channelized_bank(bank, mesh: Mesh, chan_axis: str = "chan"):
+    """Returns (step, state) with state sharded channel-wise over the mesh.
+
+    step(state, params, x) -> (state, y, aux); params are taken from
+    bank.chain.params() each call and sharded on the fly (they are small).
+    y's leading channel axis comes back sharded; np.asarray gathers it.
+    """
+    m = bank.m
+    by_chan = NamedSharding(mesh, P(chan_axis))
+    repl = NamedSharding(mesh, P())
+
+    def put(a):
+        arr = jnp.asarray(a)
+        if arr.ndim >= 1 and arr.shape[0] == m:
+            return jax.device_put(arr, by_chan)
+        return jax.device_put(arr, repl)
+
+    state = jax.tree.map(put, bank.state)
+    chain = bank.chain
+    proto = bank.prototype
+    mm = bank.m
+
+    from openwebrx_tpu.ops import channelizer as pfb
+
+    def step(state, params, x):
+        tail, chain_state = state
+        tail, channels = pfb.channelize(tail, proto, x, mm)
+        channels = jax.lax.with_sharding_constraint(channels, by_chan)
+        chain_state, y, aux = chain.apply(chain_state, params, channels)
+        return (tail, chain_state), y, aux
+
+    stepj = jax.jit(step, donate_argnums=(0,))
+
+    def run(state, x):
+        params = jax.tree.map(put, chain.params())
+        x = jax.device_put(jnp.asarray(x), repl)
+        return stepj(state, params, x)
+
+    return run, state
