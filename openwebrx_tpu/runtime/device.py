@@ -113,6 +113,59 @@ class SecondaryHandle:
                 self.text_cb(text)
 
 
+class IqServiceHandle:
+    """A complex-IF tap: Selector-only chain at an arbitrary IF rate, for
+    external decoders that consume IQ (dumphfdl 12k, dumpvdl2 105k,
+    rtl_433 250k — reference csdr/chain/aircraft.py, toolbox.py).
+
+    Own block cadence (accumulator), like SecondaryHandle.  iq_cb receives
+    bytes in the requested wire format ('cf32' or 'cs16').
+    """
+
+    def __init__(self, runtime: "DeviceRuntime", if_rate: float,
+                 offset_hz: float, wire_format: str = "cs16"):
+        from openwebrx_tpu.models.selector import Selector
+        from openwebrx_tpu.models.stages import plan_block_size as _pbs
+        from openwebrx_tpu.ops.formats import Format as _F, StreamSpec as _S
+
+        self.runtime = runtime
+        self.if_rate = float(if_rate)
+        self.mode = f"iq@{int(if_rate)}"
+        self.wire_format = wire_format
+        self.chain = Selector(runtime.in_rate, if_rate, with_squelch=False)
+        self.chain.set_frequency_offset(offset_hz)
+        spec = _S(_F.COMPLEX_FLOAT, runtime.in_rate)
+        self.block = _pbs(self.chain, spec, 0.1)
+        self.program = Program(self.chain, spec, self.block)
+        self._pending: list[np.ndarray] = []
+        self._pending_len = 0
+        self.iq_cb = None
+
+    def set_offset(self, offset_hz: float):
+        self.chain.set_frequency_offset(offset_hz)
+
+    def feed(self, block: np.ndarray):
+        self._pending.append(block)
+        self._pending_len += len(block)
+        while self._pending_len >= self.block:
+            buf = np.concatenate(self._pending)
+            chunk, rest = buf[: self.block], buf[self.block:]
+            self._pending = [rest] if len(rest) else []
+            self._pending_len = len(rest)
+            y, _ = self.program.process(chunk)
+            if self.iq_cb is None:
+                continue
+            iq = np.asarray(y)
+            if self.wire_format == "cs16":
+                interleaved = np.empty(2 * len(iq), np.int16)
+                scaled = np.clip(iq * 32767.0, -32768, 32767)
+                interleaved[0::2] = scaled.real.astype(np.int16)
+                interleaved[1::2] = scaled.imag.astype(np.int16)
+                self.iq_cb(interleaved.tobytes())
+            else:
+                self.iq_cb(iq.astype(np.complex64).tobytes())
+
+
 class ChannelHandle:
     """A listener's handle on one bank slot (the per-client control surface
     the reference exposes through DspManager properties)."""
@@ -242,6 +295,13 @@ class DeviceRuntime:
         handle = SecondaryHandle(self, mode, offset_hz)
         with self._lock:
             self.secondary_handles.append(handle)
+        return handle
+
+    def open_iq_channel(self, if_rate: float, offset_hz: float,
+                        wire_format: str = "cs16") -> IqServiceHandle:
+        handle = IqServiceHandle(self, if_rate, offset_hz, wire_format)
+        with self._lock:
+            self.secondary_handles.append(handle)  # same feed path
         return handle
 
     def release_secondary(self, handle: SecondaryHandle):
