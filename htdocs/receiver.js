@@ -275,6 +275,23 @@ function handleJson(msg) {
       break;
     }
     case "log_message": log(msg.value); break;
+    case "secondary_demod": {
+      const el = document.getElementById("decoded");
+      el.textContent += msg.value;
+      if (el.textContent.length > 4000)
+        el.textContent = el.textContent.slice(-3000);
+      el.scrollTop = el.scrollHeight;
+      break;
+    }
+    case "clients":
+      document.getElementById("clients").textContent = msg.value;
+      break;
+    case "chat_message": {
+      const el = document.getElementById("chat");
+      el.textContent += msg.name + ": " + msg.text + "\n";
+      el.scrollTop = el.scrollHeight;
+      break;
+    }
     case "sdr_error": log("SDR error: " + msg.value); break;
     case "demodulator_error": log(msg.value); break;
   }
@@ -367,6 +384,19 @@ document.getElementById("mute").addEventListener("click", () => {
 
 document.getElementById("profiles").addEventListener("change", (e) => {
   send({type: "selectprofile", params: {profile: e.target.value}});
+});
+
+document.getElementById("secondary").addEventListener("change", (e) => {
+  send({type: "dspcontrol", params: {secondary_mod: e.target.value}});
+  document.getElementById("decoded").textContent = "";
+});
+
+document.getElementById("chat-input").addEventListener("keydown", (e) => {
+  if (e.key === "Enter" && e.target.value.trim()) {
+    send({type: "sendmessage", text: e.target.value.trim(),
+          name: "web user"});
+    e.target.value = "";
+  }
 });
 
 document.getElementById("freq").addEventListener("wheel", (e) => {

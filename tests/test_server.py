@@ -242,3 +242,42 @@ class TestSecondaryDemod:
         finally:
             await server.stop()
             SdrService.stop_all()
+
+
+@pytest.mark.usefixtures("demo_config")
+class TestChatAndClients:
+    def test_chat_broadcast_between_clients(self):
+        asyncio.run(self._session())
+
+    async def _session(self):
+        from openwebrx_tpu.core.clients import ClientRegistry
+        from openwebrx_tpu.sdr import SdrService
+        from openwebrx_tpu.web.server import build_router
+        from openwebrx_tpu.web.http import HttpServer
+
+        ClientRegistry.reset()
+        SdrService.load()
+        server = HttpServer(build_router(), port=0, host="127.0.0.1")
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        try:
+            a = await WsTestClient.connect(port)
+            b = await WsTestClient.connect(port)
+            for c in (a, b):
+                await c.receive()
+                await c.send_text("SERVER DE CLIENT client=test type=receiver")
+                await c.expect_json("config")
+            # both see the listener count reach 2
+            await a.expect_json("clients")
+            await a.send_text(json.dumps(
+                {"type": "sendmessage", "text": "hello all", "name": "op"}))
+            msg = await b.expect_json("chat_message")
+            assert msg["text"] == "hello all" and msg["name"] == "op"
+            msg_a = await a.expect_json("chat_message")
+            assert msg_a["text"] == "hello all"
+            await a.close()
+            await b.close()
+        finally:
+            await server.stop()
+            SdrService.stop_all()
+            ClientRegistry.reset()
