@@ -76,10 +76,13 @@ class FeatureDetector:
         "wxsat": _which("satdump"),
         "mp3": _which("lame"),
         "rigcontrol": _which("rigctl"),
-        # SDR device families (connector daemons / SoapySDR)
-        "rtl_sdr": _which("rtl_sdr"),
-        "rtl_tcp": lambda: True,
-        "soapy_connector": _which("SoapySDRUtil"),
+        # SDR device families (owrx_connector daemons / SoapySDR)
+        "rtl_sdr": _which("rtl_connector"),
+        "rtl_tcp": _which("rtl_tcp_connector"),
+        "soapy_connector": _which("soapy_connector"),
+        "sddc_connector": _which("sddc_connector"),
+        "hpsdr_connector": _which("hpsdr_connector"),
+        "runds_connector": _which("runds_connector"),
         "file_source": lambda: True,
     }
 

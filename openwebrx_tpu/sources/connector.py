@@ -58,10 +58,17 @@ class ConnectorSource(SdrSource):
     def _spawn_driver(self):
         template = self.props.get("command")
         if not template:
+            # derive from the device description (sources/devices.py)
+            from openwebrx_tpu.sources.devices import build_command
+            template = build_command(self.props.get("type", ""), self.props)
+        if not template:
             return
-        cmd = template.format(**{k: self.props.get(k, "") for k in
-                                 ("port", "control_port", "center_freq",
-                                  "samp_rate", "rf_gain", "ppm", "device")})
+        try:
+            cmd = template.format(**{k: self.props.get(k, "") for k in
+                                     ("port", "control_port", "center_freq",
+                                      "samp_rate", "rf_gain", "ppm", "device")})
+        except (KeyError, IndexError):
+            cmd = template
         logger.info("starting driver: %s", cmd)
         self._process = subprocess.Popen(shlex.split(cmd))
 

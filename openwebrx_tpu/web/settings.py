@@ -109,7 +109,17 @@ def update_settings(request: Request):
     return json_response({"ok": True})
 
 
+def devices_api(request: Request):
+    """Device-type catalog with settings schemas (reference
+    SdrDeviceDescription.getInputs)."""
+    from openwebrx_tpu.sources.devices import DEVICE_TYPES
+    return json_response({t: {"name": d.name, "inputs": d.inputs(),
+                              "requirement": d.requirement}
+                          for t, d in DEVICE_TYPES.items()})
+
+
 def register_routes(router):
+    router.add("/api/devices", devices_api)
     router.add("/login", login, method="POST")
     router.add("/logout", logout, method="POST")
     router.add("/api/settings", get_settings)
