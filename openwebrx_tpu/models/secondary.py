@@ -54,6 +54,34 @@ class TimingRecoveryStage(OpStage):
         return ("timing_recovery",)
 
 
+class AuxWaterfallStage(OpStage):
+    """Pass-through stage emitting waterfall rows of its input as AUX —
+    the secondary FFT the reference shows above digimode panels
+    (binary 0x03 frames; reference owrx/dsp.py:60-63, fft_size 2048)."""
+
+    name = "secondary_fft"
+
+    def __init__(self, fft_size: int = 2048, fps: float = 9.0):
+        from openwebrx_tpu.models.stages import WaterfallStage
+        self.waterfall = WaterfallStage(fft_size, fps, name="secondary_fft_inner")
+
+    def plan(self, in_spec, block):
+        self.waterfall.plan(in_spec, block)
+        self.in_spec = in_spec
+        self.block = block
+        return in_spec, block
+
+    def init_state(self, batch_shape=()):
+        return self.waterfall.init_state(batch_shape)
+
+    def apply(self, state, params, x):
+        state, rows, _ = self.waterfall.apply(state, params, x)
+        return state, x, {"rows": rows}
+
+    def signature(self):
+        return ("aux_waterfall",) + self.waterfall.signature()
+
+
 class RealToComplexStage(OpStage):
     """Real → complex (for reusing complex machinery on real streams)."""
 
@@ -99,6 +127,7 @@ class PskChain(Chain):
         self.bandpass = BandpassStage(-2.0 * baud, 2.0 * baud, name="psk_bandpass")
         super().__init__([
             self.selector,
+            AuxWaterfallStage(),
             self.fine_shift,
             self.bandpass,
             FirDecimateStage(decim, transition_bw=0.2 / decim, name="psk_decim"),
@@ -129,6 +158,7 @@ class RttyChain(Chain):
                                       name="rtty_bandpass")
         super().__init__([
             self.selector,
+            AuxWaterfallStage(),
             self.fine_shift,
             self.bandpass,
             FmDemodStage(),
@@ -158,6 +188,7 @@ class CwChain(Chain):
         self.bandpass = BandpassStage(-100.0, 100.0, name="cw_bandpass")
         super().__init__([
             self.selector,
+            AuxWaterfallStage(),
             self.fine_shift,
             self.bandpass,
             EnvelopeStage(),

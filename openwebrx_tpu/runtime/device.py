@@ -65,6 +65,7 @@ class SecondaryHandle:
         self._pending: list[np.ndarray] = []
         self._pending_len = 0
         self.text_cb = None
+        self.fft_cb = None            # secondary FFT rows (0x03 frames)
         self._decoder = self._make_decoder()
 
     def _make_decoder(self):
@@ -107,7 +108,14 @@ class SecondaryHandle:
             chunk, rest = buf[: self.block], buf[self.block:]
             self._pending = [rest] if len(rest) else []
             self._pending_len = len(rest)
-            y, _ = self.program.process(chunk)
+            y, aux = self.program.process(chunk)
+            if self.fft_cb is not None:
+                for key, rows in aux.items():
+                    if key.endswith("secondary_fft.rows"):
+                        from openwebrx_tpu.ops.adpcm import compress_fft_rows
+                        for payload in compress_fft_rows(np.asarray(rows)):
+                            self.fft_cb(payload)
+                        break
             text = self._decoder(y)
             if text and self.text_cb is not None:
                 self.text_cb(text)
@@ -164,6 +172,58 @@ class IqServiceHandle:
                 self.iq_cb(interleaved.tobytes())
             else:
                 self.iq_cb(iq.astype(np.complex64).tobytes())
+
+
+class ExecAudioHandle:
+    """A listener mode decoded by an external binary: complex IF from an
+    IqServiceHandle → subprocess → s16 audio back to the client.
+
+    Reference analogs: the PopenModule broadcast chains — Drm (dream),
+    FreeDV (freedv_rx), M17 (m17-demod), HdRadio (nrsc5), Dablin
+    (csdr/chain/{drm,freedv,m17,hdradio,dablin}.py).  Feature-gated on the
+    binary; audio_cb receives raw s16 frames (compression handled by the
+    connection layer as for service audio).
+    """
+
+    # mode → (if_rate, wire format, command builder)
+    MODES = {
+        "drm": (48000, "cs16",
+                lambda rate: ["dream", "-c", "6", "--sigsrate", str(int(rate)),
+                              "--audsrate", "12000", "-I", "-", "-O", "-"]),
+        "freedv": (8000, "cs16",
+                   lambda rate: ["freedv_rx", "1600", "-", "-"]),
+        "m17": (48000, "cs16",
+                lambda rate: ["m17-demod", "-l"]),
+        "hdr": (744187, "cs16",
+                lambda rate: ["nrsc5", "-r", "-", "-o", "-", "0"]),
+        "dab": (2048000, "cs16",
+                lambda rate: ["dablin", "-s", "-p", "-"]),
+    }
+
+    def __init__(self, runtime: "DeviceRuntime", mode: str, offset_hz: float,
+                 command_override=None):
+        from openwebrx_tpu.services.pipeline import SubprocessPipeline
+
+        if_rate, wire, cmd = self.MODES[mode]
+        self.mode = mode
+        self.runtime = runtime
+        self.audio_cb = None
+        self.iq = runtime.open_iq_channel(if_rate, offset_hz, wire)
+        self.pipeline = SubprocessPipeline(
+            command_override or cmd(if_rate), self._on_audio_bytes,
+            line_based=False)
+        self.iq.iq_cb = self.pipeline.feed
+
+    def _on_audio_bytes(self, data: bytes):
+        if self.audio_cb is not None:
+            self.audio_cb(data, False)
+
+    def set_offset(self, offset_hz: float):
+        self.iq.set_offset(offset_hz)
+
+    def close(self):
+        self.runtime.release_secondary(self.iq)
+        self.pipeline.close()
 
 
 class ChannelHandle:

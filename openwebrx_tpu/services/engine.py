@@ -24,8 +24,6 @@ from openwebrx_tpu.sources.base import SdrClientClass, SdrSourceEventClient, Sdr
 
 logger = logging.getLogger(__name__)
 
-# decoders the audio-chopper service path supports today; packet/aircraft
-# style subprocess pipelines attach here as they are added
 CHOPPER_MODES = set(PROFILES.keys())
 
 
@@ -56,8 +54,10 @@ class ServiceHandler(SdrSourceEventClient):
     def update_services(self):
         self.stop_services()
         config = Config.get()
+        from openwebrx_tpu.services.exec_modes import EXEC_MODES, IQ_EXEC_MODES
+        supported = CHOPPER_MODES | set(EXEC_MODES) | set(IQ_EXEC_MODES)
         enabled = [d for d in config.get("services_decoders", [])
-                   if d in CHOPPER_MODES]
+                   if d in supported]
         if not enabled:
             return
         center = self.source.get_center_freq()
@@ -76,16 +76,53 @@ class ServiceHandler(SdrSourceEventClient):
                     self.source.id, len(self.services))
 
     def _start_service(self, mode: str, dial_freq: float, center: float):
-        profile = PROFILES[mode]()
-        handle = self.runtime.open_channel("usb", dial_freq - center,
-                                           service=True)
-        chopper = AudioChopper(
-            profile, int(dial_freq),
-            CoreConfig.defaults["temporary_directory"],
-            lambda spot, m=mode, f=dial_freq: self._on_spot(spot, m, f))
-        handle.audio_cb = lambda wire, hd=False, c=chopper: c.write(wire)
-        self.services.append({"mode": mode, "dial": dial_freq,
-                              "handle": handle, "chopper": chopper})
+        from openwebrx_tpu.services.exec_modes import (
+            EXEC_MODES, IQ_EXEC_MODES, ExecModeService, make_iq_parser,
+        )
+        from openwebrx_tpu.services.pipeline import SubprocessPipeline
+
+        offset = dial_freq - center
+        if mode in CHOPPER_MODES:
+            profile = PROFILES[mode]()
+            handle = self.runtime.open_channel("usb", offset, service=True)
+            chopper = AudioChopper(
+                profile, int(dial_freq),
+                CoreConfig.defaults["temporary_directory"],
+                lambda spot, m=mode, f=dial_freq: self._on_spot(spot, m, f))
+            handle.audio_cb = lambda wire, hd=False, c=chopper: c.write(wire)
+            self.services.append({"mode": mode, "dial": dial_freq,
+                                  "handle": handle, "chopper": chopper})
+        elif mode in EXEC_MODES:
+            spec = EXEC_MODES[mode]
+            handle = self.runtime.open_channel(spec["underlying"], offset,
+                                               service=True)
+            svc = ExecModeService(mode, lambda ev: self._on_event(ev, dial_freq))
+            handle.audio_cb = lambda wire, hd=False, s=svc: s.feed(wire)
+            self.services.append({"mode": mode, "dial": dial_freq,
+                                  "handle": handle, "exec": svc})
+        elif mode in IQ_EXEC_MODES:
+            spec = IQ_EXEC_MODES[mode]
+            handle = self.runtime.open_iq_channel(spec["if_rate"], offset,
+                                                  spec["wire"])
+            parser = make_iq_parser(spec["parser"],
+                                    lambda ev: self._on_event(ev, dial_freq))
+            pipeline = SubprocessPipeline(
+                spec["command"](spec["if_rate"], dial_freq), parser)
+            handle.iq_cb = pipeline.feed
+            self.services.append({"mode": mode, "dial": dial_freq,
+                                  "handle": handle, "pipeline": pipeline})
+
+    def _on_event(self, event: dict, dial_freq: float):
+        """Non-spot service events (pages, ISM sensors, aircraft) — counted
+        and pushed to the map when they carry positions."""
+        Metrics.shared().counter(
+            f"services.events.{event.get('mode', 'unknown')}").inc()
+        if "lat" in event and "lon" in event and "icao" in event:
+            from openwebrx_tpu.core.map import LatLngLocation
+            Map.shared().update_location(
+                event.get("flight") or event["icao"],
+                LatLngLocation(event["lat"], event["lon"]),
+                event.get("mode", "AIR"))
 
     def _on_spot(self, spot: dict, mode: str, dial_freq: float):
         band = Bandplan.shared().find_band(dial_freq)
@@ -106,8 +143,17 @@ class ServiceHandler(SdrSourceEventClient):
     def stop_services(self):
         with self._lock:
             for svc in self.services:
-                svc["handle"].close()
-                svc["chopper"].close()
+                handle = svc["handle"]
+                if hasattr(handle, "close"):
+                    handle.close()
+                else:
+                    self.runtime.release_secondary(handle)
+                if "chopper" in svc:
+                    svc["chopper"].close()
+                if "exec" in svc:
+                    svc["exec"].close()
+                if "pipeline" in svc:
+                    svc["pipeline"].close()
             self.services = []
 
     def shutdown(self):

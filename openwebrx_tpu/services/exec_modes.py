@@ -149,8 +149,84 @@ def _acars_parser(svc):
     return parse
 
 
+# IQ-consuming decoders: fed from an IqServiceHandle at the given IF rate
+# (reference csdr/chain/aircraft.py:14-103, toolbox.py IsmDemodulator)
+IQ_EXEC_MODES = {
+    "ism": {
+        "if_rate": 250000, "wire": "cs16", "requirement": "ism",
+        "command": lambda rate, dial: ["rtl_433", "-F", "json",
+                                       "-r", f"cs16:-:{int(rate)}"],
+        "parser": "ism",
+    },
+    "hfdl": {
+        "if_rate": 12000, "wire": "cs16", "requirement": "hfdl",
+        "command": lambda rate, dial: ["dumphfdl", "--iq-file", "-",
+                                       "--sample-format", "CS16",
+                                       "--sample-rate", str(int(rate)),
+                                       "--output", "decoded:json:file:path=-",
+                                       str(int(dial / 1000))],
+        "parser": "hfdl",
+    },
+    "vdl2": {
+        "if_rate": 105000, "wire": "cs16", "requirement": "vdl2",
+        "command": lambda rate, dial: ["dumpvdl2", "--iq-file", "-",
+                                       "--sample-format", "S16",
+                                       "--oversample", "1",
+                                       "--output", "decoded:json:file:path=-"],
+        "parser": "vdl2",
+    },
+    "adsb": {
+        "if_rate": 2400000, "wire": "cs16", "requirement": "adsb",
+        "command": lambda rate, dial: ["dump1090", "--ifile", "-",
+                                       "--iformat", "SC16", "--raw"],
+        "parser": "adsb",
+    },
+}
+
+
+def make_iq_parser(kind: str, on_event, cache=None):
+    """Event parser factory for the IQ exec modes."""
+    import json as _json
+
+    from openwebrx_tpu.services.aircraft import (
+        AircraftCache, AdsbParser, HfdlParser, Vdl2Parser,
+    )
+    from openwebrx_tpu.services.toolbox import IsmParser
+
+    cache = cache or AircraftCache()
+    if kind == "ism":
+        p = IsmParser(on_event)
+        def parse(line: bytes):
+            try:
+                p.parse(_json.loads(line))
+            except _json.JSONDecodeError:
+                pass
+        return parse
+    if kind in ("hfdl", "vdl2"):
+        inner = HfdlParser(cache) if kind == "hfdl" else Vdl2Parser(cache)
+        def parse(line: bytes):
+            try:
+                fields = inner.parse(_json.loads(line))
+            except _json.JSONDecodeError:
+                return
+            if fields:
+                on_event(fields)
+        return parse
+    if kind == "adsb":
+        sbs = AdsbParser(cache)
+        def parse(line: bytes):
+            fields = sbs.parse(line)
+            if fields:
+                on_event(fields)
+        return parse
+    raise KeyError(kind)
+
+
 def mode_available(mode: str) -> bool:
     spec = EXEC_MODES.get(mode)
-    if spec is None:
-        return False
-    return shutil.which(spec["command"]()[0]) is not None
+    if spec is not None:
+        return shutil.which(spec["command"]()[0]) is not None
+    spec = IQ_EXEC_MODES.get(mode)
+    if spec is not None:
+        return shutil.which(spec["command"](0, 0)[0]) is not None
+    return False

@@ -228,6 +228,9 @@ class ReceiverConnection:
         if self.secondary is not None and self.device is not None:
             self.device.release_secondary(self.secondary)
             self.secondary = None
+        if getattr(self, "exec_audio", None) is not None:
+            self.exec_audio.close()
+            self.exec_audio = None
         self.device = None if not self.closed else self.device
 
     # --------------------------------------------------------- dsp wires --
@@ -299,10 +302,16 @@ class ReceiverConnection:
         if "mod" in params and params["mod"] != self.handle.mode:
             mod = params["mod"]
             from openwebrx_tpu.models.secondary import SECONDARY_FACTORY
+            from openwebrx_tpu.runtime.device import ExecAudioHandle
             if mod in SECONDARY_FACTORY:
+                self._set_exec_audio(None)
                 self._set_secondary(mod)
+            elif mod in ExecAudioHandle.MODES:
+                self._set_secondary(None)
+                self._set_exec_audio(mod)
             else:
                 self._set_secondary(None)
+                self._set_exec_audio(None)
                 try:
                     self.handle.set_mode(mod)
                 except KeyError:
@@ -316,6 +325,8 @@ class ReceiverConnection:
             self.handle.set_offset(self._offset)
             if self.secondary is not None:
                 self.secondary.set_offset(self._offset)
+            if getattr(self, "exec_audio", None) is not None:
+                self.exec_audio.set_offset(self._offset)
         if "secondary_offset_freq" in params and self.secondary is not None:
             self.secondary.set_carrier(float(params["secondary_offset_freq"]))
         if "squelch_level" in params:
@@ -328,6 +339,30 @@ class ReceiverConnection:
             self._nr_threshold = float(params.get("nr_threshold",
                                                   getattr(self, "_nr_threshold", 0.0)))
             self.handle.set_nr(self._nr_threshold if self._nr_enabled else -100.0)
+
+    def _set_exec_audio(self, mode: str | None):
+        """Attach/detach an external-binary audio mode (DRM/FreeDV/M17/…);
+        while active it replaces the bank audio feed (reference: the
+        PopenModule broadcast chains)."""
+        import shutil as _shutil
+
+        from openwebrx_tpu.runtime.device import ExecAudioHandle
+        if getattr(self, "exec_audio", None) is not None:
+            self.exec_audio.close()
+            self.exec_audio = None
+            if self.handle is not None:
+                self.handle.audio_cb = self._on_audio
+        if mode is None or self.device is None:
+            return
+        binary = ExecAudioHandle.MODES[mode][2](48000)[0]
+        if _shutil.which(binary) is None:
+            self.send_json({"type": "demodulator_error",
+                            "value": f"{mode}: decoder '{binary}' not installed"})
+            return
+        if self.handle is not None:
+            self.handle.audio_cb = None  # mute the bank path
+        self.exec_audio = ExecAudioHandle(self.device, mode, self._offset)
+        self.exec_audio.audio_cb = self._on_audio
 
     def _set_secondary(self, mode: str | None):
         """Attach/detach a digimode decoder (reference secondary demod,
@@ -346,6 +381,7 @@ class ReceiverConnection:
             return
         self.secondary.text_cb = lambda text: self.send_json(
             {"type": "secondary_demod", "value": text})
+        self.secondary.fft_cb = lambda payload: self.send_binary(0x03, payload)
         self.send_json({"type": "secondary_config", "value": {
             "secondary_fft_size": int(Config.get().get("digimodes_fft_size", 2048)),
             "if_samp_rate": 12000,

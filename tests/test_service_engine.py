@@ -83,3 +83,64 @@ class TestServiceEngine:
         # the spot also landed on the map
         dump = Map.shared().full_dump()
         assert any(p["callsign"] == "EA7MJ" for p in dump)
+
+
+@pytest.fixture()
+def iq_env(tmp_path, monkeypatch):
+    Config.reset()
+    DecoderQueue.reset()
+    ReportingEngine.reset()
+    Map._instance = None
+    config = Config.get()
+    config["services_enabled"] = True
+    config["services_decoders"] = ["ism"]
+
+    script = tmp_path / "fake_rtl433"
+    script.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "sys.stdin.buffer.read(4096)\n"
+        "print('{\"model\": \"Fake-Sensor\", \"temperature_C\": 21.5}', flush=True)\n"
+        "sys.stdin.buffer.read()\n")
+    import stat as stat_mod
+    script.chmod(script.stat().st_mode | stat_mod.S_IEXEC)
+
+    from openwebrx_tpu.services import exec_modes
+    monkeypatch.setitem(exec_modes.IQ_EXEC_MODES, "ism", {
+        "if_rate": 24000, "wire": "cs16", "requirement": "ism",
+        "command": lambda rate, dial: [str(script)],
+        "parser": "ism",
+    })
+    monkeypatch.setattr(Bandplan, "_instance", Bandplan(
+        [Band("ism-test", 433000000, 434000000, [], {"ism": 433920000})]))
+    yield
+    svc_engine.Services.stop()
+    DecoderQueue.reset()
+    ReportingEngine.reset()
+    Config.reset()
+
+
+class TestIqExecService:
+    def test_ism_service_events(self, iq_env):
+        from openwebrx_tpu.core.metrics import Metrics
+        props = PropertyLayer(
+            samp_rate=240000, center_freq=433900000, throttle=False, noise=1e-3,
+            signals=[])
+        src = SignalSource("ism-test", props)
+        rt = DeviceRuntime(src, capacity=4, target_seconds=0.1)
+        handler = svc_engine.ServiceHandler(rt)
+        rt.start()
+        try:
+            deadline = time.time() + 20
+            metric = None
+            while time.time() < deadline:
+                metric = Metrics.shared().get("services.events.ISM")
+                if metric is not None and metric.get_value()["count"] > 0:
+                    break
+                time.sleep(0.25)
+            assert metric is not None and metric.get_value()["count"] > 0, \
+                "no ISM events counted"
+        finally:
+            handler.shutdown()
+            rt.stop()
+            src.stop()
