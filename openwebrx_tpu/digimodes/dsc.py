@@ -1,0 +1,131 @@
+"""DSC (Digital Selective Calling) decoding, host side — CCIR 493.
+
+Reference analogs: native ``DscDecoder`` / ``Ccir493Decoder``
+(``csdr/chain/digimodes.py:320-322``, ``owrx/marine.py``).  HF DSC is
+100 Bd FSK ±85 Hz (the RTTY device chain at those parameters feeds this).
+
+CCIR 493 layer: 10-bit symbols = 7 data bits (LSB first) + 3-bit check
+(the count of ZEROS in the 7 data bits); a call sequence carries symbols
+twice (DX, then RX five symbols later).  The message body encodes format
+specifier, addresses (MMSI as 5 symbol pairs), category, telecommands and
+EOS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# symbol values (0..127); selected service symbols
+FMT_DISTRESS = 112
+FMT_ALL_SHIPS = 116
+FMT_GROUP = 114
+FMT_SELECTIVE = 120
+FMT_AREA = 102
+FMT_AUTO = 123
+EOS_REQ = 117
+EOS_ACK = 122
+EOS_NONE = 127
+
+FORMATS = {
+    FMT_DISTRESS: "distress", FMT_ALL_SHIPS: "all ships",
+    FMT_GROUP: "group", FMT_SELECTIVE: "selective",
+    FMT_AREA: "area", FMT_AUTO: "automatic",
+}
+
+CATEGORIES = {100: "routine", 108: "safety", 110: "urgency", 112: "distress"}
+
+
+def encode_symbol(value: int) -> list[int]:
+    """7 data bits LSB first + 3-bit zero-count check (MSB first)."""
+    data = [(value >> i) & 1 for i in range(7)]
+    zeros = 7 - sum(data)
+    check = [(zeros >> 2) & 1, (zeros >> 1) & 1, zeros & 1]
+    return data + check
+
+
+def decode_symbol(bits) -> int | None:
+    data = bits[:7]
+    value = sum(b << i for i, b in enumerate(data))
+    zeros = 7 - sum(data)
+    check = (bits[7] << 2) | (bits[8] << 1) | bits[9]
+    return value if check == zeros else None
+
+
+def encode_call(fmt: int, address: str, category: int, body: list[int],
+                eos: int = EOS_NONE) -> list[int]:
+    """Build a DSC symbol stream (with DX/RX spread) for tests."""
+    addr_symbols = [int(address[i: i + 2]) for i in range(0, 10, 2)] \
+        if address else []
+    seq = [fmt, fmt] + addr_symbols + [category] + body + [eos]
+    # DX/RX: each symbol repeated 5 positions later (time diversity)
+    out = []
+    stream = seq + [EOS_NONE] * 5
+    for i, s in enumerate(stream):
+        out.append(s)
+        out.append(stream[i - 5] if i >= 5 else EOS_NONE)
+    bits = []
+    for s in out:
+        bits.extend(encode_symbol(s))
+    return bits
+
+
+class DscDecoder:
+    """Feed bits; emits parsed call dicts via on_message."""
+
+    def __init__(self, on_message=None):
+        self.on_message = on_message
+        self._bits: list[int] = []
+        self._symbols: list[int | None] = []
+        self._synced = False
+        self._index = 0
+        self._dx: dict[int, int | None] = {}
+        self._seq: list[int | None] = []
+
+    def feed_bits(self, bits: np.ndarray):
+        for b in bits:
+            self._bits.append(int(b))
+            if not self._synced:
+                if len(self._bits) >= 10:
+                    val = decode_symbol(self._bits[-10:])
+                    if val is not None:
+                        self._synced = True
+                        self._bits = []
+                        self._push(val)
+                continue
+            if len(self._bits) == 10:
+                val = decode_symbol(self._bits)
+                self._bits = []
+                self._push(val)
+
+    def _push(self, val: int | None):
+        idx = self._index
+        self._index += 1
+        if idx % 2 == 0:
+            self._dx[idx // 2] = val
+            return
+        char_pos = idx // 2 - 5
+        dx = self._dx.pop(char_pos, None)
+        chosen = dx if dx is not None else val
+        self._seq.append(chosen)
+        if chosen == EOS_NONE or chosen == EOS_REQ or chosen == EOS_ACK:
+            self._finish(chosen)
+
+    def _finish(self, eos: int):
+        seq = [s for s in self._seq if s is not None]
+        self._seq = []
+        if len(seq) < 3:
+            return
+        # leading format specifier is doubled
+        fmt = seq[0] if seq[0] == seq[1] else seq[0]
+        body = seq[2:] if seq[0] == seq[1] else seq[1:]
+        msg = {"mode": "DSC", "format": FORMATS.get(fmt, f"fmt{fmt}")}
+        if fmt in (FMT_SELECTIVE, FMT_GROUP) and len(body) >= 5:
+            msg["address"] = "".join(f"{s:02d}" for s in body[:5])
+            body = body[5:]
+        if body:
+            msg["category"] = CATEGORIES.get(body[0], str(body[0]))
+            msg["body"] = body[1:-1] if len(body) > 1 else []
+        msg["eos"] = {EOS_REQ: "ack required", EOS_ACK: "acknowledgement",
+                      EOS_NONE: "end"}.get(eos, str(eos))
+        if self.on_message:
+            self.on_message(msg)

@@ -71,6 +71,9 @@ class SdrSource:
     keep calling self._deliver(block) with complex64 blocks of
     self.block_size until self._stop_requested."""
 
+    MAX_RETRIES = 10          # reference: 10 retries × 15 s
+    RETRY_DELAY = 15.0
+
     def __init__(self, source_id: str, props: Properties):
         self.id = source_id
         self.props = self._build_props(props)
@@ -84,6 +87,8 @@ class SdrSource:
         self._queue: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=8)
         self._thread: threading.Thread | None = None
         self._stop_requested = False
+        self._retries = 0
+        self._retry_timer: threading.Timer | None = None
         self._lock = threading.RLock()
 
     # -- property stack (reference owrx/source/__init__.py:114-160) -------
@@ -235,6 +240,8 @@ class SdrSource:
         self._set_state(SdrSourceState.STOPPED)
 
     def shutdown(self):
+        if self._retry_timer is not None:
+            self._retry_timer.cancel()
         self.stop()
         for c in list(self.clients):
             try:
@@ -246,9 +253,35 @@ class SdrSource:
         try:
             self._set_state(SdrSourceState.RUNNING)
             self._run_stream()
+            self._retries = 0
         except Exception:
             logger.exception("source %s stream failed", self.id)
+            self._schedule_retry()
+
+    def _schedule_retry(self):
+        """Driver restart budget (reference owrx/source/__init__.py:432-448:
+        10 retries every 15 s, then the source is marked failed)."""
+        if self._stop_requested:
+            return
+        self._retries += 1
+        if self._retries > self.MAX_RETRIES:
             self.fail()
+            return
+        logger.warning("source %s retry %d/%d in %.0fs", self.id,
+                       self._retries, self.MAX_RETRIES, self.RETRY_DELAY)
+        self._set_state(SdrSourceState.STOPPED)
+
+        def retry():
+            with self._lock:
+                if self._stop_requested or self.failed:
+                    return
+                if self.has_clients(SdrClientClass.USER, SdrClientClass.BACKGROUND) \
+                        or self.is_always_on():
+                    self.start()
+
+        self._retry_timer = threading.Timer(self.RETRY_DELAY, retry)
+        self._retry_timer.daemon = True
+        self._retry_timer.start()
 
     def _run_stream(self):
         raise NotImplementedError

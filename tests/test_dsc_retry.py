@@ -1,0 +1,82 @@
+"""DSC decoding + source retry-budget tests."""
+
+import time
+
+import numpy as np
+
+from openwebrx_tpu.digimodes.dsc import (
+    DscDecoder, encode_call, encode_symbol, decode_symbol,
+    FMT_SELECTIVE, EOS_REQ,
+)
+from openwebrx_tpu.core.property import PropertyLayer
+from openwebrx_tpu.sources.base import SdrSource, SdrSourceState
+
+
+class TestDsc:
+    def test_symbol_check(self):
+        for v in (0, 1, 100, 127):
+            bits = encode_symbol(v)
+            assert decode_symbol(bits) == v
+        bad = encode_symbol(100)
+        bad[0] ^= 1
+        assert decode_symbol(bad) is None
+
+    def test_selective_call(self):
+        bits = np.array(encode_call(FMT_SELECTIVE, "2113456780", 108,
+                                    [26, 0], eos=EOS_REQ))
+        messages = []
+        dec = DscDecoder(messages.append)
+        dec.feed_bits(bits)
+        assert messages, "no DSC message"
+        msg = messages[0]
+        assert msg["format"] == "selective"
+        assert msg["address"] == "2113456780"
+        assert msg["category"] == "safety"
+        assert msg["eos"] == "ack required"
+
+
+class FlakySource(SdrSource):
+    RETRY_DELAY = 0.1
+
+    def __init__(self, *args, fail_times=2, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.fail_times = fail_times
+        self.attempts = 0
+
+    def _run_stream(self):
+        self.attempts += 1
+        if self.attempts <= self.fail_times:
+            raise ConnectionError("boom")
+        while not self._stop_requested:
+            self._deliver(np.zeros(100, np.complex64))
+            time.sleep(0.01)
+
+
+class TestRetryBudget:
+    def test_recovers_after_transient_failures(self):
+        src = FlakySource("flaky", PropertyLayer(samp_rate=48000,
+                                                 **{"always-on": True}),
+                          fail_times=2)
+        src.block_size = 100
+        src.start()
+        deadline = time.time() + 5
+        while src.get_state() is not SdrSourceState.RUNNING and time.time() < deadline:
+            time.sleep(0.05)
+        assert src.attempts == 3
+        assert not src.is_failed()
+        assert src.read_block(timeout=2) is not None
+        src.shutdown()
+
+    def test_fails_after_budget_exhausted(self):
+        src = FlakySource("dead", PropertyLayer(samp_rate=48000,
+                                                **{"always-on": True}),
+                          fail_times=99)
+        src.MAX_RETRIES = 2
+        src.block_size = 100
+        src.start()
+        deadline = time.time() + 5
+        while not src.is_failed() and time.time() < deadline:
+            time.sleep(0.05)
+        assert src.is_failed()
+        assert src.attempts == 3  # initial + 2 retries
+        src.shutdown()
