@@ -122,6 +122,12 @@ EXEC_MODES = {
         "command": lambda: ["multimon-ng", "-a", "EAS", "-t", "raw", "-"],
         "parser": lambda svc: EasParser(svc.on_event).parse,
     },
+    "msk144": {
+        "underlying": "usb",
+        "requirement": "msk144",
+        "command": lambda: ["msk144decoder"],
+        "parser": lambda svc: _msk144_parser(svc),
+    },
     "acars": {
         "underlying": "am",
         "requirement": "acars",
@@ -129,6 +135,26 @@ EXEC_MODES = {
         "parser": lambda svc: _acars_parser(svc),
     },
 }
+
+
+def _msk144_parser(svc):
+    """msk144decoder prints jt9-style decode lines (reference
+    Msk144Demodulator, csdr/module/msk144.py:11)."""
+    from openwebrx_tpu.services.wsjt import WsjtParser
+
+    class _Msk144Profile:
+        mode, interval = "MSK144", 15
+        def timestamp_format(self):
+            return "%H%M%S"
+
+    parser = WsjtParser()
+    profile = _Msk144Profile()
+
+    def parse(line: bytes):
+        spot = parser.parse(profile, 0, line)
+        if spot:
+            svc.on_event(spot)
+    return parse
 
 
 def _acars_parser(svc):

@@ -118,8 +118,17 @@ def devices_api(request: Request):
                           for t, d in DEVICE_TYPES.items()})
 
 
+@require_auth
+def logs_api(request: Request):
+    from openwebrx_tpu.core.loghistory import HistoryHandler
+    name = request.query.get("logger", "openwebrx_tpu")
+    return json_response({"logger": name,
+                          "lines": HistoryHandler.get_handler(name).get_lines()})
+
+
 def register_routes(router):
     router.add("/api/devices", devices_api)
+    router.add("/api/logs", logs_api)
     router.add("/login", login, method="POST")
     router.add("/logout", logout, method="POST")
     router.add("/api/settings", get_settings)
