@@ -111,6 +111,10 @@ def default_config() -> PropertyLayer:
         mqtt_enabled=False,
         mqtt_host="localhost",
         mqtt_use_ssl=False,
+        mqtt_topic="openwebrx",
+        mqtt_client_id="",
+        mqtt_user=None,
+        mqtt_password=None,
         paging_filter=True,
         paging_charset="US",
         eibi_bookmarks_range=0,

@@ -58,6 +58,15 @@ class ReportingEngine:
             from openwebrx_tpu.reporting.wsprnet import WsprnetReporter
             self.reporters.append(WsprnetReporter(
                 config.get("wsprnet_callsign", "N0CALL")))
+        if config.get("mqtt_enabled") and config.get("mqtt_host"):
+            from openwebrx_tpu.reporting.mqtt import MqttReporter
+            self.reporters.append(MqttReporter(
+                config.get("mqtt_host"),
+                topic=config.get("mqtt_topic") or "openwebrx",
+                client_id=config.get("mqtt_client_id") or "",
+                username=config.get("mqtt_user"),
+                password=config.get("mqtt_password"),
+                use_ssl=bool(config.get("mqtt_use_ssl"))))
 
     def add(self, reporter: Reporter):
         self.reporters.append(reporter)

@@ -60,7 +60,7 @@ class AudioChopper:
         self.on_spot = on_spot
         self.skew = skew
         self.writer_id = writer_id or f"{id(self):x}"
-        self.parser = WsjtParser()
+        self.parser = profile.make_parser()
         self._lock = threading.Lock()
         self._current: WaveRecording | None = None
         self._boundary = self._next_boundary()

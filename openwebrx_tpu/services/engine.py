@@ -19,12 +19,13 @@ from openwebrx_tpu.core.map import Map, LocatorLocation
 from openwebrx_tpu.core.metrics import Metrics
 from openwebrx_tpu.reporting import ReportingEngine
 from openwebrx_tpu.services.chopper import AudioChopper
-from openwebrx_tpu.services.wsjt import PROFILES
+from openwebrx_tpu.services.js8 import JS8_PROFILES
+from openwebrx_tpu.services.wsjt import PROFILES as WSJT_PROFILES
 from openwebrx_tpu.sources.base import SdrClientClass, SdrSourceEventClient, SdrSourceState
 
 logger = logging.getLogger(__name__)
 
-CHOPPER_MODES = set(PROFILES.keys())
+CHOPPER_MODES = set(WSJT_PROFILES) | set(JS8_PROFILES)
 
 
 class ServiceHandler(SdrSourceEventClient):
@@ -83,7 +84,9 @@ class ServiceHandler(SdrSourceEventClient):
 
         offset = dial_freq - center
         if mode in CHOPPER_MODES:
-            profile = PROFILES[mode]()
+            # read through the live dicts (tests patch wsjt.PROFILES in place)
+            profile_cls = WSJT_PROFILES.get(mode) or JS8_PROFILES[mode]
+            profile = profile_cls()
             handle = self.runtime.open_channel("usb", offset, service=True)
             chopper = AudioChopper(
                 profile, int(dial_freq),

@@ -42,6 +42,9 @@ class WsjtProfile:
     def file_timestamp_format(self) -> str:
         return "%y%m%d_%H%M%S" if self.interval < 60 else "%y%m%d_%H%M"
 
+    def make_parser(self):
+        return WsjtParser()
+
 
 class Ft8Profile(WsjtProfile):
     mode, interval = "FT8", 15

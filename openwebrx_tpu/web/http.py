@@ -54,9 +54,10 @@ def response(status: int, body: bytes = b"", content_type: str = "text/plain",
     return ("\r\n".join(head) + "\r\n\r\n").encode() + body
 
 
-def json_response(data, status: int = 200) -> bytes:
+def json_response(data, status: int = 200,
+                  headers: dict | None = None) -> bytes:
     return response(status, json.dumps(data, indent=2).encode(),
-                    "application/json")
+                    "application/json", headers)
 
 
 class Router:

@@ -30,7 +30,20 @@ def build_router() -> Router:
 
     def status(request: Request):
         config = Config.get()
-        return json_response({
+        # receiver directories authenticate a listed receiver by sending
+        # an "Authorization: ReceiverId <challenges>" header; answer with
+        # signed responses (reference: owrx/controllers/receiverid.py)
+        headers = None
+        auth = request.headers.get("authorization")
+        if auth:
+            from openwebrx_tpu.core.receiverid import KeyError_, response_header
+            try:
+                signed = response_header(auth)
+                if signed:
+                    headers = {"Authorization": signed}
+            except KeyError_:
+                pass
+        return json_response(headers=headers, data={
             "receiver": {k: config.get(k) for k in
                          ("receiver_name", "receiver_location", "receiver_asl",
                           "receiver_admin", "receiver_gps")},

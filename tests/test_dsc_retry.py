@@ -60,7 +60,11 @@ class TestRetryBudget:
         src.block_size = 100
         src.start()
         deadline = time.time() + 5
-        while src.get_state() is not SdrSourceState.RUNNING and time.time() < deadline:
+        # RUNNING is set briefly even on a failing attempt, so wait for the
+        # attempt counter too, not just the state
+        while (src.attempts < 3 or
+               src.get_state() is not SdrSourceState.RUNNING) and \
+                time.time() < deadline:
             time.sleep(0.05)
         assert src.attempts == 3
         assert not src.is_failed()

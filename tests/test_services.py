@@ -91,3 +91,45 @@ class TestChopperPipeline:
         time.sleep(0.3)
         leftovers = [f for f in os.listdir(tmp_path) if f.endswith(".wav")]
         assert leftovers == [], f"undeleted wav files: {leftovers}"
+
+
+class TestJs8Parser:
+    def test_heartbeat_with_grid_yields_spot(self):
+        from openwebrx_tpu.services.js8 import Js8NormalProfile, Js8Parser
+        p = Js8Parser()
+        out = p.parse(Js8NormalProfile(), 7078000,
+                      b"231530 -11  0.5 1250 A  KN4CRD: @HB HEARTBEAT EM73")
+        assert out["mode"] == "JS8"
+        assert out["callsign"] == "KN4CRD"
+        assert out["locator"] == "EM73"
+        assert out["thread_type"] == "heartbeat"
+        assert out["freq"] == 7078000 + 1250
+        assert out["db"] == -11.0
+        assert out["js8mode"] == "A"
+
+    def test_directed_message(self):
+        from openwebrx_tpu.services.js8 import Js8NormalProfile, Js8Parser
+        p = Js8Parser()
+        out = p.parse(Js8NormalProfile(), 7078000,
+                      b"231545  -3  0.2  750 A  OH8STN: KN4CRD SNR -12")
+        assert out["thread_type"] == "directed"
+        assert out["callsign"] == "OH8STN"
+        assert out["callee"] == "KN4CRD"
+        assert "locator" not in out
+
+    def test_decoder_noise_skipped(self):
+        from openwebrx_tpu.services.js8 import Js8NormalProfile, Js8Parser
+        p = Js8Parser()
+        assert p.parse(Js8NormalProfile(), 0, b"<DecodeFinished>") is None
+        assert p.parse(Js8NormalProfile(), 0, b"") is None
+
+    def test_profiles_and_commandline(self):
+        from openwebrx_tpu.services.js8 import JS8_PROFILES, Js8TurboProfile
+        assert set(JS8_PROFILES) >= {"js8", "js8slow", "js8fast", "js8turbo"}
+        cmd = Js8TurboProfile().decoder_commandline("/tmp/x.wav")
+        assert cmd[:4] == ["js8", "--js8", "-b", "C"]
+        assert Js8TurboProfile().interval == 6
+
+    def test_engine_profiles_include_js8(self):
+        from openwebrx_tpu.services.engine import CHOPPER_MODES
+        assert "js8" in CHOPPER_MODES and "ft8" in CHOPPER_MODES
