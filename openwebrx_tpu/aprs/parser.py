@@ -142,6 +142,24 @@ def _parse_mice(destination: str, data: bytes) -> dict | None:
     }
 
 
+def parse_tnc2(line: str) -> dict | None:
+    """Parse a TNC2-format monitor string ``SRC>DEST,PATH:body`` into the
+    frame dict ``AprsParser.parse`` accepts.  D-Star DPRS payloads and
+    third-party traffic arrive in this textual form (reference:
+    owrx/meta.py:188-209 feeding DPRS through the APRS parser)."""
+    head, sep, body = line.partition(":")
+    if not sep or ">" not in head:
+        return None
+    source, _, rest = head.partition(">")
+    parts = rest.split(",")
+    return {
+        "source": source.strip(),
+        "destination": parts[0].strip(),
+        "path": [p.strip() for p in parts[1:]],
+        "data": body.encode("ascii", "replace"),
+    }
+
+
 class AprsParser:
     """Parse an AX.25 UI frame dict into an APRS event dict."""
 

@@ -188,6 +188,10 @@ class CoreConfig:
         "temporary_directory": "/tmp/openwebrx_tpu",
         "web_port": 8073,
         "log_level": "INFO",
+        # https is enabled automatically when both files exist
+        # (reference: owrx/__main__.py:160-167 with /etc/openwebrx paths)
+        "ssl_cert": "/etc/openwebrx/cert.pem",
+        "ssl_key": "/etc/openwebrx/key.pem",
     }
 
     def __init__(self, overrides: dict | None = None):

@@ -30,28 +30,31 @@ IF_RATE = 12000.0
 
 
 class TimingRecoveryStage(OpStage):
-    """Feedforward symbol recovery (terminal): y = symbols (..., B/SPS)."""
+    """Feedforward symbol recovery (terminal): y = symbols (..., B/sps)."""
 
     name = "timing_recovery"
 
+    def __init__(self, sps: int = timing.SPS):
+        self.sps = int(sps)
+
     def divisor(self, in_spec):
-        return timing.SPS
+        return self.sps
 
     def ratio(self, in_spec):
-        return Fraction(1, timing.SPS)
+        return Fraction(1, self.sps)
 
     def _out_spec(self, in_spec):
-        return in_spec.with_rate(in_spec.rate / timing.SPS)
+        return in_spec.with_rate(in_spec.rate / self.sps)
 
     def init_state(self, batch_shape=()):
-        return timing.timing_init(batch_shape)
+        return timing.timing_init(batch_shape, self.sps)
 
     def apply(self, state, params, x):
-        state, symbols = timing.recover(state, x)
+        state, symbols = timing.recover(state, x, self.sps)
         return state, symbols, {}
 
     def signature(self):
-        return ("timing_recovery",)
+        return ("timing_recovery", self.sps)
 
 
 class AuxWaterfallStage(OpStage):

@@ -81,13 +81,17 @@ class ShiftStage(OpStage):
 class FirDecimateStage(OpStage):
     """Integer FIR decimation (reference FirDecimate, csdr/chain/selector.py:29)."""
 
-    def __init__(self, decimation: int, transition_bw: float, cutoff: float | None = None,
+    def __init__(self, decimation: int, transition_bw: float = 0.05,
+                 cutoff: float | None = None, taps=None,
                  name: str = "fir_decimate"):
         self.name = name
         self.decimation = int(decimation)
         self.transition_bw = float(transition_bw)
-        cutoff = cutoff if cutoff is not None else 0.5 / self.decimation - transition_bw / 2
-        self.taps = firdes.lowpass_taps(max(cutoff, 1e-4), transition_bw)
+        if taps is not None:
+            self.taps = taps  # caller-designed filter (e.g. RRC matched filter)
+        else:
+            cutoff = cutoff if cutoff is not None else 0.5 / self.decimation - transition_bw / 2
+            self.taps = firdes.lowpass_taps(max(cutoff, 1e-4), transition_bw)
 
     def ratio(self, in_spec):
         return Fraction(1, self.decimation)

@@ -226,6 +226,74 @@ class ExecAudioHandle:
         self.pipeline.close()
 
 
+class DigitalVoiceHandle:
+    """DMR/YSF/D-Star/NXDN listener: the TPU runs the whole symbol path
+    (discriminator → RRC matched filter → timing recovery → 4FSK slicer,
+    ``models/digital_voice.py``); only the frame decoder + MBE vocoder are
+    external, consuming one dibit byte per symbol on stdin and emitting
+    s16 audio on stdout plus JSON metadata on a side fd.
+
+    Reference analog: csdr/chain/digiham.py:14-73 (whole chain external
+    there).  audio_cb(bytes, hd) like ExecAudioHandle; meta_cb(dict)
+    delivers enriched metadata (owrx/meta.py flow).
+    """
+
+    def __init__(self, runtime: "DeviceRuntime", mode: str, offset_hz: float,
+                 command_override=None):
+        from openwebrx_tpu.models.digital_voice import DV_DECODERS, DV_FACTORY
+        from openwebrx_tpu.models.stages import plan_block_size as _pbs
+        from openwebrx_tpu.ops.formats import Format as _F, StreamSpec as _S
+        from openwebrx_tpu.services.meta import MetaParser
+        from openwebrx_tpu.services.pipeline import SubprocessPipeline
+
+        self.runtime = runtime
+        self.mode = mode
+        self.audio_cb = None
+        self.meta_cb = None
+        self.chain = DV_FACTORY[mode](runtime.in_rate)
+        self.chain.set_frequency_offset(offset_hz)
+        spec = _S(_F.COMPLEX_FLOAT, runtime.in_rate)
+        self.block = _pbs(self.chain, spec, 0.1)
+        self.program = Program(self.chain, spec, self.block)
+        self._pending: list[np.ndarray] = []
+        self._pending_len = 0
+        self.meta_parser = MetaParser(self._on_meta)
+        self.pipeline = SubprocessPipeline(
+            command_override or DV_DECODERS[mode], self._on_audio_bytes,
+            line_based=False, on_meta_line=self.meta_parser.feed_line)
+        with runtime._lock:
+            runtime.secondary_handles.append(self)  # device feed path
+
+    def _on_audio_bytes(self, data: bytes):
+        if self.audio_cb is not None:
+            self.audio_cb(data, False)
+
+    def _on_meta(self, meta: dict):
+        if self.meta_cb is not None:
+            self.meta_cb(meta)
+
+    def set_offset(self, offset_hz: float):
+        self.chain.set_frequency_offset(offset_hz)
+
+    def set_dial_frequency(self, freq: float):
+        self.meta_parser.set_dial_frequency(freq)
+
+    def feed(self, block: np.ndarray):
+        self._pending.append(block)
+        self._pending_len += len(block)
+        while self._pending_len >= self.block:
+            buf = np.concatenate(self._pending)
+            chunk, rest = buf[: self.block], buf[self.block:]
+            self._pending = [rest] if len(rest) else []
+            self._pending_len = len(rest)
+            dibits, _ = self.program.process(chunk)
+            self.pipeline.feed(np.asarray(dibits).astype(np.uint8).tobytes())
+
+    def close(self):
+        self.runtime.release_secondary(self)
+        self.pipeline.close()
+
+
 class ChannelHandle:
     """A listener's handle on one bank slot (the per-client control surface
     the reference exposes through DspManager properties)."""

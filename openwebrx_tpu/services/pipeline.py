@@ -30,25 +30,55 @@ class SubprocessPipeline:
     """
 
     def __init__(self, commandline: list[str], on_line, line_based: bool = True,
-                 on_exit=None):
+                 on_exit=None, on_meta_line=None):
         self.commandline = commandline
         self.on_line = on_line
         self.line_based = line_based
         self.on_exit = on_exit
+        self.on_meta_line = on_meta_line
         self._proc: subprocess.Popen | None = None
         self._reader: threading.Thread | None = None
+        self._meta_read_fd: int | None = None
         self._lock = threading.RLock()
         self._closed = False
         self.start()
 
     def start(self):
+        import os
         with self._lock:
+            cmd = self.commandline
+            pass_fds, meta_wfd = (), None
+            if self.on_meta_line is not None:
+                # decoders with a side metadata channel (digiham-style
+                # --fifo/meta-fd): give the child a pipe write end and
+                # substitute its fd number into the command line
+                rfd, meta_wfd = os.pipe()
+                os.set_inheritable(meta_wfd, True)
+                self._meta_read_fd = rfd
+                pass_fds = (meta_wfd,)
+                cmd = [arg.format(meta_fd=meta_wfd) if "{meta_fd}" in arg
+                       else arg for arg in cmd]
             self._proc = subprocess.Popen(
-                self.commandline, stdin=subprocess.PIPE,
-                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+                cmd, stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                pass_fds=pass_fds)
+            if meta_wfd is not None:
+                os.close(meta_wfd)  # child holds the only write end now
+                threading.Thread(target=self._drain_meta, daemon=True,
+                                 name=f"meta-{self.commandline[0]}").start()
             self._reader = threading.Thread(target=self._drain, daemon=True,
                                             name=f"pipe-{self.commandline[0]}")
             self._reader.start()
+
+    def _drain_meta(self):
+        import os
+        rfd = self._meta_read_fd
+        try:
+            with os.fdopen(rfd, "rb") as f:
+                for line in f:
+                    self.on_meta_line(line.rstrip(b"\n"))
+        except (OSError, ValueError):
+            pass
 
     def _drain(self):
         proc = self._proc

@@ -231,6 +231,9 @@ class ReceiverConnection:
         if getattr(self, "exec_audio", None) is not None:
             self.exec_audio.close()
             self.exec_audio = None
+        if getattr(self, "digital_voice", None) is not None:
+            self.digital_voice.close()
+            self.digital_voice = None
         self.device = None if not self.closed else self.device
 
     # --------------------------------------------------------- dsp wires --
@@ -301,17 +304,25 @@ class ReceiverConnection:
             return
         if "mod" in params and params["mod"] != self.handle.mode:
             mod = params["mod"]
+            from openwebrx_tpu.models.digital_voice import DV_FACTORY
             from openwebrx_tpu.models.secondary import SECONDARY_FACTORY
             from openwebrx_tpu.runtime.device import ExecAudioHandle
             if mod in SECONDARY_FACTORY:
                 self._set_exec_audio(None)
+                self._set_digital_voice(None)
                 self._set_secondary(mod)
             elif mod in ExecAudioHandle.MODES:
                 self._set_secondary(None)
+                self._set_digital_voice(None)
                 self._set_exec_audio(mod)
+            elif mod in DV_FACTORY:
+                self._set_secondary(None)
+                self._set_exec_audio(None)
+                self._set_digital_voice(mod)
             else:
                 self._set_secondary(None)
                 self._set_exec_audio(None)
+                self._set_digital_voice(None)
                 try:
                     self.handle.set_mode(mod)
                 except KeyError:
@@ -327,6 +338,8 @@ class ReceiverConnection:
                 self.secondary.set_offset(self._offset)
             if getattr(self, "exec_audio", None) is not None:
                 self.exec_audio.set_offset(self._offset)
+            if getattr(self, "digital_voice", None) is not None:
+                self.digital_voice.set_offset(self._offset)
         if "secondary_offset_freq" in params and self.secondary is not None:
             self.secondary.set_carrier(float(params["secondary_offset_freq"]))
         if "squelch_level" in params:
@@ -363,6 +376,35 @@ class ReceiverConnection:
             self.handle.audio_cb = None  # mute the bank path
         self.exec_audio = ExecAudioHandle(self.device, mode, self._offset)
         self.exec_audio.audio_cb = self._on_audio
+
+    def _set_digital_voice(self, mode: str | None):
+        """Attach/detach a digital-voice mode (DMR/YSF/D-Star/NXDN): TPU
+        symbol chain + external frame decoder; metadata goes to the client
+        as {"type": "metadata"} (reference owrx/connection.py:518)."""
+        import shutil as _shutil
+
+        if getattr(self, "digital_voice", None) is not None:
+            self.digital_voice.close()
+            self.digital_voice = None
+            if self.handle is not None:
+                self.handle.audio_cb = self._on_audio
+        if mode is None or self.device is None:
+            return
+        from openwebrx_tpu.models.digital_voice import DV_DECODERS
+        from openwebrx_tpu.runtime.device import DigitalVoiceHandle
+        binary = DV_DECODERS[mode][0]
+        if _shutil.which(binary) is None:
+            self.send_json({"type": "demodulator_error",
+                            "value": f"{mode}: decoder '{binary}' not installed"})
+            return
+        if self.handle is not None:
+            self.handle.audio_cb = None  # mute the bank path
+        self.digital_voice = DigitalVoiceHandle(self.device, mode, self._offset)
+        self.digital_voice.audio_cb = self._on_audio
+        self.digital_voice.meta_cb = lambda meta: self.send_json(
+            {"type": "metadata", "value": meta})
+        center = self.source.get_center_freq() if self.source else 0
+        self.digital_voice.set_dial_frequency(center + self._offset)
 
     def _set_secondary(self, mode: str | None):
         """Attach/detach a digimode decoder (reference secondary demod,

@@ -86,16 +86,20 @@ class Router:
 
 
 class HttpServer:
-    def __init__(self, router: Router, port: int = 8073, host: str = "0.0.0.0"):
+    def __init__(self, router: Router, port: int = 8073, host: str = "0.0.0.0",
+                 ssl_context=None):
         self.router = router
         self.port = port
         self.host = host
+        self.ssl_context = ssl_context
         self._server: asyncio.AbstractServer | None = None
         self._writers: set[asyncio.StreamWriter] = set()
 
     async def start(self):
-        self._server = await asyncio.start_server(self._handle, self.host, self.port)
-        logger.info("HTTP server listening on %s:%d", self.host, self.port)
+        self._server = await asyncio.start_server(
+            self._handle, self.host, self.port, ssl=self.ssl_context)
+        logger.info("HTTP%s server listening on %s:%d",
+                    "S" if self.ssl_context else "", self.host, self.port)
 
     async def stop(self):
         if self._server is not None:

@@ -99,6 +99,22 @@ SIGNAL_DEMO_CONFIG = {
 }
 
 
+def make_ssl_context():
+    """https auto-enables when cert+key exist at the configured paths
+    (reference: owrx/__main__.py:160-167)."""
+    import os
+    import ssl
+    from openwebrx_tpu.core.config import CoreConfig
+    cert = CoreConfig.defaults["ssl_cert"]
+    key = CoreConfig.defaults["ssl_key"]
+    if not (os.path.isfile(cert) and os.path.isfile(key)):
+        logger.info("no SSL certificate at %s, serving plain http", cert)
+        return None
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(cert, key)
+    return ctx
+
+
 async def main_async(args):
     if args.signal_demo:
         config = Config.get()
@@ -112,9 +128,11 @@ async def main_async(args):
     from openwebrx_tpu.services.engine import Services
     Services.start()
     router = build_router()
-    server = HttpServer(router, port=args.port)
+    server = HttpServer(router, port=args.port, ssl_context=make_ssl_context())
     await server.start()
-    logger.info("openwebrx_tpu %s ready on port %d", __version__, args.port)
+    scheme = "https" if server.ssl_context else "http"
+    logger.info("openwebrx_tpu %s ready on %s port %d", __version__, scheme,
+                args.port)
     stop = asyncio.Event()
     loop = asyncio.get_running_loop()
     for sig in (signal.SIGINT, signal.SIGTERM):
