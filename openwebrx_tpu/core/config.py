@@ -95,6 +95,11 @@ def default_config() -> PropertyLayer:
         decoding_queue_length=10,
         wsjt_decoding_depth=3,
         wsjt_decoding_depths={"jt65": 1},
+        fst4_enabled_intervals=[15, 30],
+        fst4w_enabled_intervals=[120, 300],
+        q65_enabled_combinations=["A30", "E120"],
+        js8_enabled_profiles=["normal", "slow"],
+        js8_decoding_depth=3,
         services_enabled=False,
         services_decoders=["ft8", "ft4", "wspr", "packet"],
         aprs_callsign="N0CALL",

@@ -75,18 +75,25 @@ class Map:
         return float(Config.get().get("map_position_retention_time", 7200))
 
     def update_location(self, callsign: str, loc: Location, mode: str,
-                        band=None, hops=None):
+                        band=None, hops=None, timestamp_ms: float | None = None):
+        """timestamp_ms far in the future makes the entry effectively
+        permanent (reference Markers.updateMap, owrx/markers.py:200-207)."""
         record = {
             "callsign": callsign,
             "location": loc.to_json(),
             "mode": mode,
             "band": band,
-            "lastseen": time.time() * 1000,
+            "lastseen": timestamp_ms if timestamp_ms is not None
+                        else time.time() * 1000,
             "hops": hops or [],
         }
         with self._plock:
             self.positions[callsign] = record
         self._broadcast([record])
+
+    def remove_location(self, callsign: str):
+        with self._plock:
+            self.positions.pop(callsign, None)
 
     def update_call(self, caller: str, callee: str, mode: str, band=None):
         record = {"caller": caller, "callee": callee, "mode": mode,

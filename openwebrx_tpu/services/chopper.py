@@ -52,15 +52,23 @@ class AudioChopper:
     """Feed int16 audio bytes; files rotate at interval boundaries and are
     decoded through the queue.  on_spot(spot_dict) receives parsed decodes."""
 
-    def __init__(self, profile: WsjtProfile, dial_freq: int, tmp_dir: str,
+    def __init__(self, profile, dial_freq: int, tmp_dir: str,
                  on_spot, writer_id: str | None = None, skew: float = 1.0):
-        self.profile = profile
+        # one recording interval, one or more profiles decoding the same
+        # file (reference groups profiles by interval and decodes the
+        # master WAV once per profile — owrx/audio/chopper.py:45-56)
+        self.profiles = list(profile) if isinstance(profile, (list, tuple)) \
+            else [profile]
+        assert len({p.interval for p in self.profiles}) == 1, \
+            "profiles sharing a chopper must share the interval"
+        self.profile = self.profiles[0]
         self.dial_freq = dial_freq
         self.tmp_dir = tmp_dir
         self.on_spot = on_spot
         self.skew = skew
         self.writer_id = writer_id or f"{id(self):x}"
-        self.parser = profile.make_parser()
+        self.parsers = [p.make_parser() for p in self.profiles]
+        self.parser = self.parsers[0]
         self._lock = threading.Lock()
         self._current: WaveRecording | None = None
         self._boundary = self._next_boundary()
@@ -88,17 +96,23 @@ class AudioChopper:
         if recording is None:
             return
         recording.close()
-        profile, dial = self.profile, self.dial_freq
+        dial = self.dial_freq
+        remaining = [len(self.profiles)]
 
-        def on_line(line: bytes):
-            spot = self.parser.parse(profile, dial, line)
-            if spot is not None:
-                self.on_spot(spot)
+        def done():
+            remaining[0] -= 1
+            if remaining[0] <= 0:
+                recording.unlink()
 
-        job = QueueJob(profile.decoder_commandline(recording.filename),
-                       recording.filename, on_line,
-                       on_done=recording.unlink)
-        DecoderQueue.shared().put(job)
+        for profile, parser in zip(self.profiles, self.parsers):
+            def on_line(line: bytes, profile=profile, parser=parser):
+                spot = parser.parse(profile, dial, line)
+                if spot is not None:
+                    self.on_spot(spot)
+
+            job = QueueJob(profile.decoder_commandline(recording.filename),
+                           recording.filename, on_line, on_done=done)
+            DecoderQueue.shared().put(job)
 
     def close(self):
         with self._lock:

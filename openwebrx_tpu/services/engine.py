@@ -84,17 +84,27 @@ class ServiceHandler(SdrSourceEventClient):
 
         offset = dial_freq - center
         if mode in CHOPPER_MODES:
-            # read through the live dicts (tests patch wsjt.PROFILES in place)
-            profile_cls = WSJT_PROFILES.get(mode) or JS8_PROFILES[mode]
-            profile = profile_cls()
+            from openwebrx_tpu.services.wsjt import enabled_profiles
+            profiles = enabled_profiles(mode)
+            if not profiles:
+                return
+            # profiles sharing an interval share one recording; one chopper
+            # per interval group (reference owrx/audio/chopper.py:45-56)
+            groups: dict[float, list] = {}
+            for p in profiles:
+                groups.setdefault(p.interval, []).append(p)
             handle = self.runtime.open_channel("usb", offset, service=True)
-            chopper = AudioChopper(
-                profile, int(dial_freq),
-                CoreConfig.defaults["temporary_directory"],
-                lambda spot, m=mode, f=dial_freq: self._on_spot(spot, m, f))
-            handle.audio_cb = lambda wire, hd=False, c=chopper: c.write(wire)
+            choppers = [
+                AudioChopper(
+                    group, int(dial_freq),
+                    CoreConfig.defaults["temporary_directory"],
+                    lambda spot, m=mode, f=dial_freq: self._on_spot(spot, m, f))
+                for group in groups.values()
+            ]
+            handle.audio_cb = lambda wire, hd=False, cs=choppers: [
+                c.write(wire) for c in cs]
             self.services.append({"mode": mode, "dial": dial_freq,
-                                  "handle": handle, "chopper": chopper})
+                                  "handle": handle, "choppers": choppers})
         elif mode in EXEC_MODES:
             spec = EXEC_MODES[mode]
             handle = self.runtime.open_channel(spec["underlying"], offset,
@@ -151,8 +161,8 @@ class ServiceHandler(SdrSourceEventClient):
                     handle.close()
                 else:
                     self.runtime.release_secondary(handle)
-                if "chopper" in svc:
-                    svc["chopper"].close()
+                for chopper in svc.get("choppers", []):
+                    chopper.close()
                 if "exec" in svc:
                     svc["exec"].close()
                 if "pipeline" in svc:

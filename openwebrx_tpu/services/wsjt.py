@@ -127,6 +127,45 @@ PROFILES = {
     "fst4w": Fst4wProfile, "q65": Q65Profile,
 }
 
+
+def enabled_profiles(mode: str) -> list[WsjtProfile]:
+    """All decoder profiles the config enables for a mode, possibly
+    several (reference ConfigWiredProfileSource: fst4/fst4w intervals,
+    q65 combinations — owrx/wsjt.py:39-87 — and js8 speeds).  Profiles
+    sharing an interval share one recording; the service engine groups
+    them per chopper."""
+    from openwebrx_tpu.core.config import Config
+    config = Config.get()
+    if mode == "fst4":
+        intervals = config.get("fst4_enabled_intervals") or [15]
+        return [Fst4Profile(i) for i in intervals
+                if i in Fst4Profile.available_intervals]
+    if mode == "fst4w":
+        intervals = config.get("fst4w_enabled_intervals") or [120]
+        return [Fst4wProfile(i) for i in intervals
+                if i in Fst4wProfile.available_intervals]
+    if mode == "q65":
+        out = []
+        for combo in config.get("q65_enabled_combinations") or ["A30"]:
+            try:
+                letter, interval = combo[0].upper(), int(combo[1:])
+            except (ValueError, IndexError):
+                continue
+            out.append(Q65Profile(interval, letter))
+        return out
+    if mode.startswith("js8"):
+        from openwebrx_tpu.services.js8 import JS8_PROFILES
+        names = config.get("js8_enabled_profiles") or ["normal"]
+        out = []
+        for name in names:
+            cls = JS8_PROFILES.get(f"js8{name.lower()}")
+            if cls is not None:
+                out.append(cls())
+        return out or [JS8_PROFILES["js8"]()]
+    if mode in PROFILES:
+        return [PROFILES[mode]()]
+    return []
+
 # QSO message: "... CALLSIGN LOCATOR" or "... CALLSIGN 73/RRR/RR73"
 _QSO_RE = re.compile(r"^(.*)\s([A-Z0-9/]{2,})(\sR)?\s(([A-R]{2}[0-9]{2})|73|RRR)$")
 _CALLEE_RE = re.compile(r"^([A-Z0-9/]{2,})(\s.*)?$")

@@ -127,6 +127,8 @@ async def main_async(args):
     # background services → web server
     from openwebrx_tpu.services.engine import Services
     Services.start()
+    from openwebrx_tpu.core.markers import Markers
+    Markers.start()
     router = build_router()
     server = HttpServer(router, port=args.port, ssl_context=make_ssl_context())
     await server.start()
@@ -143,6 +145,7 @@ async def main_async(args):
     await stop.wait()
     logger.info("shutting down")
     await server.stop()
+    Markers.stop()
     Services.stop()
     SdrService.stop_all()
 

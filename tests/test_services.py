@@ -133,3 +133,76 @@ class TestJs8Parser:
     def test_engine_profiles_include_js8(self):
         from openwebrx_tpu.services.engine import CHOPPER_MODES
         assert "js8" in CHOPPER_MODES and "ft8" in CHOPPER_MODES
+
+
+class TestEnabledProfiles:
+    def test_multi_interval_js8(self):
+        from openwebrx_tpu.core.config import Config
+        from openwebrx_tpu.core.property import PropertyLayer
+        from openwebrx_tpu.services.wsjt import enabled_profiles
+        layer = PropertyLayer(js8_enabled_profiles=["normal", "slow", "fast"])
+        Config.get().add_layer(0, layer)
+        try:
+            profiles = enabled_profiles("js8")
+            assert sorted(p.interval for p in profiles) == [10, 15, 30]
+        finally:
+            Config.get().remove_layer(layer)
+
+    def test_fst4_intervals_filtered(self):
+        from openwebrx_tpu.core.config import Config
+        from openwebrx_tpu.core.property import PropertyLayer
+        from openwebrx_tpu.services.wsjt import enabled_profiles
+        layer = PropertyLayer(fst4_enabled_intervals=[15, 60, 7])  # 7 invalid
+        Config.get().add_layer(0, layer)
+        try:
+            profiles = enabled_profiles("fst4")
+            assert sorted(p.interval for p in profiles) == [15, 60]
+        finally:
+            Config.get().remove_layer(layer)
+
+    def test_single_profile_modes(self):
+        from openwebrx_tpu.services.wsjt import Ft8Profile, enabled_profiles
+        profiles = enabled_profiles("ft8")
+        assert len(profiles) == 1 and isinstance(profiles[0], Ft8Profile)
+
+
+class TestMultiProfileChopper:
+    def test_shared_recording_decoded_per_profile(self, tmp_path):
+        import stat
+        import time as time_mod
+
+        from openwebrx_tpu.services.chopper import AudioChopper
+        from openwebrx_tpu.services.queue import DecoderQueue
+        from openwebrx_tpu.services.wsjt import Ft8Profile
+
+        DecoderQueue.reset()
+        script = tmp_path / "fake_decoder"
+        script.write_text("#!/bin/sh\n"
+                          "echo \"222100 -15 -0.0  508 ~  CQ EA7MJ IM66\"\n")
+        script.chmod(script.stat().st_mode | stat.S_IEXEC)
+
+        class P1(Ft8Profile):
+            interval = 1
+
+            def decoder_commandline(self, file):
+                return [str(script), file]
+
+        class P2(P1):
+            pass
+
+        spots = []
+        chopper = AudioChopper([P1(), P2()], 14074000, str(tmp_path),
+                               spots.append, skew=0.0)
+        import numpy as np
+        data = np.zeros(1200, np.int16).tobytes()
+        deadline = time_mod.time() + 10
+        while len(spots) < 2 and time_mod.time() < deadline:
+            chopper.write(data)
+            time_mod.sleep(0.05)
+        chopper.close()
+        DecoderQueue.reset()
+        assert len(spots) >= 2  # both profiles decoded the shared file
+        # shared recording removed after the LAST decode
+        leftovers = [f for f in tmp_path.iterdir()
+                     if f.name.startswith("openwebrx-chopper")]
+        assert leftovers == []
