@@ -210,6 +210,55 @@ IQ_EXEC_MODES = {
 }
 
 
+def _satdump_command(pipeline: str, rate: float, dial: float,
+                     extra: dict | None = None) -> list[str]:
+    """satdump live decode fed f32 IQ on stdin (reference
+    csdr/module/satellite.py:7-30); products land in a timestamped
+    folder under the temporary directory."""
+    import time as _time
+
+    from openwebrx_tpu.core.config import CoreConfig
+    out = os.path.join(CoreConfig.defaults["temporary_directory"], "satdump",
+                       f"{pipeline}-{int(_time.time())}")
+    os.makedirs(out, exist_ok=True)
+    cmd = ["satdump", "live", pipeline, out,
+           "--source", "file", "--file_path", "/dev/stdin",
+           "--samplerate", str(int(rate)),
+           "--frequency", str(int(dial)),
+           "--baseband_format", "f32"]
+    for key, value in (extra or {}).items():
+        cmd += [f"--{key}", str(value)]
+    return cmd
+
+
+IQ_EXEC_MODES.update({
+    "noaa-apt-15": {
+        "if_rate": 50000, "wire": "cf32", "requirement": "wxsat",
+        "command": lambda rate, dial: _satdump_command(
+            "noaa_apt", rate, dial, {"satellite_number": 15}),
+        "parser": "satdump",
+    },
+    "noaa-apt-18": {
+        "if_rate": 50000, "wire": "cf32", "requirement": "wxsat",
+        "command": lambda rate, dial: _satdump_command(
+            "noaa_apt", rate, dial, {"satellite_number": 18}),
+        "parser": "satdump",
+    },
+    "noaa-apt-19": {
+        "if_rate": 50000, "wire": "cf32", "requirement": "wxsat",
+        "command": lambda rate, dial: _satdump_command(
+            "noaa_apt", rate, dial, {"satellite_number": 19}),
+        "parser": "satdump",
+    },
+    "meteor-lrpt": {
+        "if_rate": 150000, "wire": "cf32", "requirement": "wxsat",
+        "command": lambda rate, dial: _satdump_command(
+            "meteor_m2-x_lrpt", rate, dial),
+        "parser": "satdump",
+    },
+})
+
+
 def make_iq_parser(kind: str, on_event, cache=None):
     """Event parser factory for the IQ exec modes."""
     import json as _json
@@ -244,6 +293,16 @@ def make_iq_parser(kind: str, on_event, cache=None):
             fields = sbs.parse(line)
             if fields:
                 on_event(fields)
+        return parse
+    if kind == "satdump":
+        # satdump logs progress to stdout; surface product/status lines
+        # as events so the service metrics count decoder activity
+        def parse(line: bytes):
+            text = line.decode(errors="replace").strip()
+            lowered = text.lower()
+            if any(tag in lowered for tag in
+                   ("saving", "saved", "finished", "done", ".png", ".cadu")):
+                on_event({"mode": "WXSAT", "message": text})
         return parse
     raise KeyError(kind)
 

@@ -126,6 +126,56 @@ def logs_api(request: Request):
                           "lines": HistoryHandler.get_handler(name).get_lines()})
 
 
+@require_auth
+def settings_schema(request: Request):
+    from openwebrx_tpu.web import forms
+    return json_response(forms.schema())
+
+
+@require_auth
+def update_settings_page(request: Request):
+    from openwebrx_tpu.web import forms
+    page = request.matches.group(1)
+    try:
+        body = json.loads(request.body or b"{}")
+        converted = forms.apply_page(page, body)
+    except json.JSONDecodeError:
+        return json_response({"error": "bad request"}, status=400)
+    except (KeyError, ValueError) as e:
+        return json_response({"error": str(e)}, status=400)
+    Config.store()
+    logger.info("settings page %s updated by %s: %s", page,
+                _session_user(request), list(converted))
+    return json_response({"ok": True, "applied": converted})
+
+
+def get_bookmarks(request: Request):
+    from openwebrx_tpu.core.bookmarks import Bookmarks
+    return json_response([b.to_json() for b in Bookmarks.shared().get_bookmarks()])
+
+
+@require_auth
+def update_bookmarks(request: Request):
+    """Replace the bookmark list (reference bookmarks settings editor)."""
+    from openwebrx_tpu.core.bookmarks import Bookmark, Bookmarks
+    try:
+        body = json.loads(request.body or b"[]")
+        if not isinstance(body, list):
+            raise ValueError("expected a list")
+        new = [Bookmark(item) for item in body]
+    except (json.JSONDecodeError, ValueError, KeyError) as e:
+        return json_response({"error": f"bad bookmarks: {e}"}, status=400)
+    bookmarks = Bookmarks.shared()
+    for old in list(bookmarks.get_bookmarks()):
+        bookmarks.remove(old.name)
+    for b in new:
+        bookmarks.add(b)
+    bookmarks.store()
+    logger.info("bookmarks replaced by %s (%d entries)",
+                _session_user(request), len(new))
+    return json_response({"ok": True, "count": len(new)})
+
+
 def register_routes(router):
     router.add("/api/devices", devices_api)
     router.add("/api/logs", logs_api)
@@ -133,3 +183,8 @@ def register_routes(router):
     router.add("/logout", logout, method="POST")
     router.add("/api/settings", get_settings)
     router.add("/api/settings", update_settings, method="POST")
+    router.add("/api/settings/schema", settings_schema)
+    router.add_regex(r"^/api/settings/(general|decoding|background|reporting)$",
+                     update_settings_page, method="POST")
+    router.add("/api/bookmarks", get_bookmarks)
+    router.add("/api/bookmarks", update_bookmarks, method="POST")

@@ -65,3 +65,33 @@ class TestExecModes:
         assert abs(ev["lat"] - 49.0583) < 0.001
         # the position reached the map
         assert any(p["callsign"] == "N0CALL-9" for p in Map.shared().full_dump())
+
+
+class TestSatellite:
+    def test_satdump_command_and_modes(self, tmp_path, monkeypatch):
+        from openwebrx_tpu.core.config import CoreConfig
+        from openwebrx_tpu.services.exec_modes import IQ_EXEC_MODES
+        monkeypatch.setitem(CoreConfig.defaults, "temporary_directory",
+                            str(tmp_path))
+        assert {"noaa-apt-15", "noaa-apt-18", "noaa-apt-19",
+                "meteor-lrpt"} <= set(IQ_EXEC_MODES)
+        spec = IQ_EXEC_MODES["noaa-apt-19"]
+        cmd = spec["command"](spec["if_rate"], 137100000)
+        assert cmd[:3] == ["satdump", "live", "noaa_apt"]
+        assert "--satellite_number" in cmd and "19" in cmd
+        assert "--samplerate" in cmd and "50000" in cmd
+        assert spec["wire"] == "cf32"
+        # output folder was created under the temp dir
+        out = cmd[3]
+        import os
+        assert out.startswith(str(tmp_path)) and os.path.isdir(out)
+
+    def test_satdump_parser_events(self):
+        from openwebrx_tpu.services.exec_modes import make_iq_parser
+        events = []
+        parse = make_iq_parser("satdump", events.append)
+        parse(b"[INFO] Decoding...")
+        parse(b"[INFO] Saving image channel_1.png")
+        assert len(events) == 1
+        assert events[0]["mode"] == "WXSAT"
+        assert "channel_1.png" in events[0]["message"]

@@ -87,3 +87,88 @@ class TestSettingsApi:
             assert status == 200 and b"Settings" in body
         finally:
             await server.stop()
+
+
+@pytest.mark.usefixtures("admin_user")
+class TestSchemaForms:
+    def test_schema_and_page_updates(self):
+        asyncio.run(self._run())
+
+    async def _run(self):
+        from openwebrx_tpu.web.server import build_router
+        from openwebrx_tpu.web.http import HttpServer
+
+        server = HttpServer(build_router(), port=0, host="127.0.0.1")
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        try:
+            _, _, cookie = await http(port, "POST", "/login",
+                                      {"username": "admin",
+                                       "password": "secret"})
+            status, body, _ = await http(port, "GET", "/api/settings/schema",
+                                         cookie=cookie)
+            assert status == 200
+            schema = json.loads(body)
+            assert {"general", "decoding", "background",
+                    "reporting"} <= set(schema)
+            general = schema["general"]
+            keys = [f["key"] for s in general["sections"] for f in s["fields"]]
+            assert "receiver_name" in keys and "fft_fps" in keys
+            assert general["values"]["max_clients"] is not None
+
+            # typed update with coercion ("25" → 25)
+            status, body, _ = await http(
+                port, "POST", "/api/settings/general",
+                {"max_clients": "25", "allow_chat": False}, cookie=cookie)
+            assert status == 200
+            assert Config.get()["max_clients"] == 25
+            assert Config.get()["allow_chat"] is False
+
+            # validation: out-of-range number rejected
+            status, _, _ = await http(port, "POST", "/api/settings/general",
+                                      {"fft_fps": 500}, cookie=cookie)
+            assert status == 400
+
+            # validation: field not on the page rejected
+            status, _, _ = await http(port, "POST", "/api/settings/general",
+                                      {"mqtt_host": "evil"}, cookie=cookie)
+            assert status == 400
+
+            # auth required
+            status, _, _ = await http(port, "POST", "/api/settings/general",
+                                      {"max_clients": 1})
+            assert status == 401
+        finally:
+            await server.stop()
+
+    def test_bookmarks_roundtrip(self):
+        asyncio.run(self._run_bookmarks())
+
+    async def _run_bookmarks(self):
+        import tempfile
+
+        from openwebrx_tpu.core.bookmarks import Bookmarks
+        from openwebrx_tpu.web.server import build_router
+        from openwebrx_tpu.web.http import HttpServer
+
+        Bookmarks._instance = Bookmarks(
+            tempfile.mktemp(suffix="-bookmarks.json"))
+        server = HttpServer(build_router(), port=0, host="127.0.0.1")
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        try:
+            _, _, cookie = await http(port, "POST", "/login",
+                                      {"username": "admin",
+                                       "password": "secret"})
+            new = [{"name": "DLF", "frequency": 6190000,
+                    "modulation": "am"}]
+            status, body, _ = await http(port, "POST", "/api/bookmarks",
+                                         new, cookie=cookie)
+            assert status == 200 and json.loads(body)["count"] == 1
+            status, body, _ = await http(port, "GET", "/api/bookmarks")
+            assert status == 200
+            got = json.loads(body)
+            assert got[0]["name"] == "DLF"
+        finally:
+            await server.stop()
+            Bookmarks._instance = None
