@@ -6,14 +6,14 @@ kernel DMAs an overlapping (T_TILE+P, M) window of u from HBM into VMEM
 per grid step, unrolls the P-tap accumulation on the VPU, and writes
 (T_TILE, M) output tiles — one pass over HBM for u and v.
 
-Measured on a v5 lite chip at M=1024, P=16, 3.07 Ms blocks: this kernel
-reaches 94–122 MS/s vs 132 MS/s for the `lax.conv_general_dilated`
-depthwise path in ``channelizer.channelize`` — XLA's conv lowering is
-already near bandwidth-bound there, and the separate re/im planes double
-the HBM traffic for u.  The conv path therefore stays the default; this
-kernel is kept as an alternative backend and as the substrate for future
-fused fold+twiddle work (fusing the ifft's first radix stages into the
-fold is the remaining headroom).
+Measured on a v5 lite chip at M=1024, P=16, 3.07 Ms blocks with
+device-resident input, the depthwise-conv path in
+``channelizer.channelize`` runs the whole PFB in ~50 µs (≈65 GS/s of
+input) — HBM-bandwidth-bound and nowhere near the system bottleneck
+(earlier numpy-input comparisons measured the dev tunnel's ~1.4 GB/s
+H2D, not compute).  The conv path stays the default; this kernel is
+kept as an alternative backend and a substrate for future fused
+fold+twiddle experiments.
 
 Caveat (axon): jitted programs that combine this pallas_call with large
 additional XLA graphs in ONE jit can hang the remote compile service;
