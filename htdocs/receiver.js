@@ -188,6 +188,7 @@ class Waterfall {
 /* -------------------------------------------------------------- app ----- */
 const app = {
   ws: null, config: {}, modes: [], mode: "nfm", offset: 0,
+  bookmarks: [], dials: [],
   audio: new AudioEngine(), rxName: document.getElementById("receiver-name"),
   waterfall: new Waterfall(document.getElementById("waterfall"),
                            document.getElementById("scale")),
@@ -251,7 +252,7 @@ function handleJson(msg) {
       Object.assign(app.config, msg.value);
       if (msg.value.start_mod) setMode(msg.value.start_mod, true);
       if (msg.value.start_offset_freq !== undefined) app.offset = msg.value.start_offset_freq;
-      updateFreq(); drawScale();
+      updateFreq(); drawScale(); drawBookmarks();
       break;
     }
     case "modes":
@@ -294,6 +295,51 @@ function handleJson(msg) {
     }
     case "sdr_error": log("SDR error: " + msg.value); break;
     case "demodulator_error": log(msg.value); break;
+    case "bookmarks":
+      app.bookmarks = msg.value || [];
+      drawBookmarks();
+      break;
+    case "dial_frequencies":
+      app.dials = msg.value || [];
+      break;
+    case "metadata": {
+      const el = document.getElementById("decoded");
+      const v = msg.value || {};
+      const who = v.callsign || (v.additional && v.additional.callsign) ||
+                  v.source || v.ourcall || "";
+      const parts = [v.protocol, who, v.talkeralias, v.target,
+                     v.additional && v.additional.name].filter(Boolean);
+      if (parts.length) {
+        el.textContent += parts.join(" · ") + "\n";
+        el.scrollTop = el.scrollHeight;
+      }
+      break;
+    }
+  }
+}
+
+/* --------------------------------------------------------- bookmarks ---- */
+function drawBookmarks() {
+  const bar = document.getElementById("bookmarks");
+  bar.innerHTML = "";
+  const sr = app.config.samp_rate || 0, cf = app.config.center_freq || 0;
+  if (!sr) return;
+  const [lo, hi] = app.waterfall.viewRange();
+  const w = bar.clientWidth;
+  for (const b of app.bookmarks || []) {
+    const frac = ((b.frequency - cf) / sr + 0.5 - lo) / (hi - lo);
+    if (frac < 0 || frac > 1) continue;
+    const el = document.createElement("div");
+    el.className = "bookmark";
+    el.style.left = (frac * w) + "px";
+    el.textContent = b.name;
+    el.title = `${(b.frequency / 1e6).toFixed(4)} MHz ${b.modulation}` +
+               (b.description ? ` — ${b.description}` : "");
+    el.onclick = () => {
+      if (b.modulation) setMode(b.modulation);
+      tune(b.frequency - cf);
+    };
+    bar.appendChild(el);
   }
 }
 
@@ -354,13 +400,52 @@ function drawPassband() {
   pb.style.width = Math.max(2, (bw / sr / (hi - lo)) * w) + "px";
 }
 
-document.getElementById("waterfall").addEventListener("click", (e) => {
-  const rect = e.target.getBoundingClientRect();
-  const x = (e.clientX - rect.left) / rect.width;
-  const [lo, hi] = app.waterfall.viewRange();
-  const frac = lo + (hi - lo) * x;
-  tune((frac - 0.5) * (app.config.samp_rate || 0));
-});
+/* click tunes; drag pans the zoomed view (reference waterfall drag) */
+(() => {
+  const wf = document.getElementById("waterfall");
+  let dragStart = null, dragged = false;
+  wf.addEventListener("mousedown", (e) => {
+    dragStart = {x: e.clientX, center: app.waterfall.center};
+    dragged = false;
+  });
+  window.addEventListener("mousemove", (e) => {
+    if (dragStart === null) return;
+    const dx = e.clientX - dragStart.x;
+    if (Math.abs(dx) > 4) dragged = true;
+    if (dragged && app.waterfall.zoom > 1) {
+      const span = 1 / app.waterfall.zoom;
+      const shift = dx / wf.clientWidth * span;
+      app.waterfall.center = Math.max(span / 2, Math.min(1 - span / 2,
+        dragStart.center - shift));
+      drawScale(); drawPassband(); drawBookmarks();
+    }
+  });
+  window.addEventListener("mouseup", (e) => {
+    if (dragStart === null) return;
+    const wasDragged = dragged;
+    dragStart = null;
+    if (wasDragged) return;
+    const rect = wf.getBoundingClientRect();
+    const x = (e.clientX - rect.left) / rect.width;
+    const [lo, hi] = app.waterfall.viewRange();
+    const frac = lo + (hi - lo) * x;
+    tune((frac - 0.5) * (app.config.samp_rate || 0));
+  });
+  /* wheel over the waterfall zooms around the pointer */
+  wf.addEventListener("wheel", (e) => {
+    e.preventDefault();
+    const zoomEl = document.getElementById("zoom");
+    let level = parseInt(zoomEl.value) + (e.deltaY < 0 ? 1 : -1);
+    level = Math.max(0, Math.min(parseInt(zoomEl.max), level));
+    zoomEl.value = level;
+    const rect = wf.getBoundingClientRect();
+    const x = (e.clientX - rect.left) / rect.width;
+    const [lo, hi] = app.waterfall.viewRange();
+    app.waterfall.zoom = Math.pow(2, level);
+    app.waterfall.center = lo + (hi - lo) * x;
+    drawScale(); drawPassband(); drawBookmarks();
+  });
+})();
 
 document.getElementById("squelch").addEventListener("input", (e) => {
   send({type: "dspcontrol", params: {squelch_level: parseFloat(e.target.value)}});
@@ -370,7 +455,7 @@ document.getElementById("zoom").addEventListener("input", (e) => {
   app.waterfall.zoom = Math.pow(2, parseInt(e.target.value));
   const sr = app.config.samp_rate || 1;
   app.waterfall.center = app.offset / sr + 0.5;
-  drawScale(); drawPassband();
+  drawScale(); drawPassband(); drawBookmarks();
 });
 
 document.getElementById("volume").addEventListener("input", (e) => {
