@@ -57,10 +57,13 @@ class FeatureDetector:
         "wsjt-x-2-4": _which("jt9"),
         "msk144": _which("msk144decoder"),
         "js8call": _which("js8"),
-        "packet": _which("direwolf"),
-        "page": _which("multimon-ng"),
-        "selcall": _which("multimon-ng"),
-        "eas": _which("multimon-ng"),
+        # native in-process decoders (digimodes/afsk.py, pocsag.py,
+        # selcall.py) — no direwolf/multimon-ng needed; the external
+        # binaries remain usable via use_external_decoders
+        "packet": lambda: True,
+        "page": lambda: True,
+        "selcall": lambda: True,
+        "eas": lambda: True,
         "ism": _which("rtl_433"),
         "hfdl": _which("dumphfdl"),
         "vdl2": _which("dumpvdl2"),
@@ -71,7 +74,7 @@ class FeatureDetector:
         "digital_voice_m17": _which("m17-demod"),
         "digital_voice_freedv": _which("freedv_rx"),
         "drm": _which("dream"),
-        "dab": lambda: True,    # DAB ensemble decode planned TPU-native
+        "dab": _which("dablin"),    # audio rendering needs dablin
         "hdradio": _which("nrsc5"),
         "wxsat": _which("satdump"),
         "mp3": _which("lame"),

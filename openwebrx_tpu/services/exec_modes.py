@@ -39,11 +39,40 @@ def direwolf_config(tmp_dir: str, kiss_port: int = 0) -> str:
     return path
 
 
-class ExecModeService:
-    """One external decoder attached to a service/listener audio feed.
+class NativeDecoderPipeline:
+    """In-process replacement for a SubprocessPipeline: int16 audio bytes
+    are demodulated by a native decoder object (``process(float_samples)``
+    + optional ``close()``) whose output lines/frames the decoder itself
+    forwards to the parser.  Used whenever a mode has a native
+    implementation — this framework decodes packet/paging/selcall/EAS
+    without any of the reference's external binaries."""
 
-    feed(audio_bytes) goes to the binary's stdin; parsed events arrive at
-    on_event(dict).
+    def __init__(self, decoder):
+        self.decoder = decoder
+
+    def feed(self, data: bytes):
+        import numpy as np
+        samples = np.frombuffer(data, dtype=np.int16).astype(np.float64) \
+            / 32768.0
+        self.decoder.process(samples)
+
+    def restart(self, commandline=None):
+        pass
+
+    def close(self):
+        close = getattr(self.decoder, "close", None)
+        if close is not None:
+            close()
+
+
+class ExecModeService:
+    """One decoder attached to a service/listener audio feed.
+
+    feed(audio_bytes) goes to the decoder (native in-process when the
+    mode has a native implementation, otherwise the external binary's
+    stdin); parsed events arrive at on_event(dict).  Config key
+    ``use_external_decoders`` forces the reference-style subprocess path
+    even when a native decoder exists.
     """
 
     def __init__(self, mode: str, on_event, tmp_dir: str | None = None,
@@ -52,6 +81,11 @@ class ExecModeService:
         self.on_event = on_event
         self.tmp_dir = tmp_dir or tempfile.gettempdir()
         spec = EXEC_MODES[mode]
+        native = spec.get("native")
+        if native is not None and command_override is None \
+                and not _prefer_external():
+            self.pipeline = NativeDecoderPipeline(native(self))
+            return
         command = command_override or spec["command"]()
         parser = spec["parser"](self)
         line_based = spec.get("line_based", True)
@@ -63,6 +97,29 @@ class ExecModeService:
 
     def close(self):
         self.pipeline.close()
+
+
+def _prefer_external() -> bool:
+    try:
+        from openwebrx_tpu.core.config import Config
+        return bool(Config.get().get("use_external_decoders", False))
+    except Exception:
+        return False
+
+
+def _emit_ax25(service: ExecModeService, frame: bytes, aprs: AprsParser):
+    """Raw AX.25 frame → APRS event → client + map."""
+    parsed = parse_ax25_frame(frame)
+    if parsed is None:
+        return
+    event = aprs.parse(parsed) or parsed
+    service.on_event({"mode": "APRS", **{
+        k: v for k, v in event.items() if k != "data"}})
+    if "lat" in event and "lon" in event:
+        from openwebrx_tpu.core.map import Map, LatLngLocation
+        Map.shared().update_location(
+            event["source"], LatLngLocation(event["lat"], event["lon"]),
+            "APRS")
 
 
 class PacketEventAdapter:
@@ -79,17 +136,46 @@ class PacketEventAdapter:
 
     def __call__(self, data: bytes):
         for frame in self.deframer.parse(data):
-            parsed = parse_ax25_frame(frame)
-            if parsed is None:
-                continue
-            event = self.aprs.parse(parsed) or parsed
-            self.service.on_event({"mode": "APRS", **{
-                k: v for k, v in event.items() if k != "data"}})
-            if "lat" in event and "lon" in event:
-                from openwebrx_tpu.core.map import Map, LatLngLocation
-                Map.shared().update_location(
-                    event["source"], LatLngLocation(event["lat"], event["lon"]),
-                    "APRS")
+            _emit_ax25(self.service, frame, self.aprs)
+
+
+class NativePacketDecoder:
+    """Native Bell-202 path: NFM audio → AFSK1200 → HDLC → AX.25 → APRS
+    (no direwolf; :mod:`openwebrx_tpu.digimodes.afsk`)."""
+
+    def __init__(self, service: ExecModeService):
+        from openwebrx_tpu.digimodes.afsk import Afsk1200Demodulator
+        self.service = service
+        self.demod = Afsk1200Demodulator(rate=AUDIO_RATE)
+        self.aprs = AprsParser()
+
+    def process(self, samples):
+        for frame in self.demod.process(samples):
+            _emit_ax25(self.service, frame, self.aprs)
+
+
+def _native_page(svc: ExecModeService):
+    from openwebrx_tpu.digimodes.pocsag import PageDecoder
+    from openwebrx_tpu.services.toolbox import PageParser
+    parser = PageParser(svc.on_event)
+    return PageDecoder(rate=AUDIO_RATE,
+                       on_line=lambda line: parser.parse(line.encode()))
+
+
+def _native_selcall(svc: ExecModeService):
+    from openwebrx_tpu.digimodes.selcall import SelCallDecoder
+    from openwebrx_tpu.services.toolbox import SelCallParser
+    parser = SelCallParser(svc.on_event)
+    return SelCallDecoder(rate=AUDIO_RATE,
+                          on_line=lambda line: parser.parse(line.encode()))
+
+
+def _native_eas(svc: ExecModeService):
+    from openwebrx_tpu.digimodes.afsk import SameDecoder
+    from openwebrx_tpu.services.toolbox import EasParser
+    parser = EasParser(svc.on_event)
+    return SameDecoder(rate=AUDIO_RATE,
+                       on_line=lambda line: parser.parse(line.encode()))
 
 
 EXEC_MODES = {
@@ -101,6 +187,7 @@ EXEC_MODES = {
                             "-t", "0", "-q", "hd", "-a", "0", "-k", "-"],
         "parser": PacketEventAdapter,
         "line_based": False,
+        "native": NativePacketDecoder,
     },
     "page": {
         "underlying": "nfm",
@@ -108,6 +195,7 @@ EXEC_MODES = {
         "command": lambda: ["multimon-ng", "-a", "POCSAG512", "-a", "POCSAG1200",
                             "-a", "POCSAG2400", "-a", "FLEX_NEXT", "-t", "raw", "-"],
         "parser": lambda svc: PageParser(svc.on_event).parse,
+        "native": _native_page,
     },
     "selcall": {
         "underlying": "nfm",
@@ -115,12 +203,14 @@ EXEC_MODES = {
         "command": lambda: ["multimon-ng", "-a", "ZVEI1", "-a", "EEA",
                             "-a", "CCIR", "-t", "raw", "-"],
         "parser": lambda svc: SelCallParser(svc.on_event).parse,
+        "native": _native_selcall,
     },
     "eas": {
         "underlying": "nfm",
         "requirement": "eas",
         "command": lambda: ["multimon-ng", "-a", "EAS", "-t", "raw", "-"],
         "parser": lambda svc: EasParser(svc.on_event).parse,
+        "native": _native_eas,
     },
     "msk144": {
         "underlying": "usb",
@@ -310,6 +400,8 @@ def make_iq_parser(kind: str, on_event, cache=None):
 def mode_available(mode: str) -> bool:
     spec = EXEC_MODES.get(mode)
     if spec is not None:
+        if spec.get("native") is not None:
+            return True                  # decoded in-process, no binary
         return shutil.which(spec["command"]()[0]) is not None
     spec = IQ_EXEC_MODES.get(mode)
     if spec is not None:
