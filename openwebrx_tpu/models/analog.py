@@ -67,20 +67,30 @@ class NFm(BaseDemodulatorChain):
 
 
 class WFm(BaseDemodulatorChain):
-    """FmDemod → Limit → FractionalDecimator(IF→audio) → WfmDeemphasis
-    (reference csdr/chain/analog.py:59-101; fixed IF 250 kHz)."""
+    """FmDemod → Limit → [RdsTap] → FractionalDecimator(IF→audio) →
+    WfmDeemphasis (reference csdr/chain/analog.py:59-101; fixed IF
+    250 kHz).  The RDS tap (reference RdsChain) emits the 57 kHz
+    subcarrier as a decimated complex aux stream decoded natively on
+    host (digimodes/rds.py) — no redsea binary."""
 
     fixed_if_rate = 250000.0
 
-    def __init__(self, audio_rate: float = 48000, tau: float = WFM_TAU, name: str = "wfm"):
+    def __init__(self, audio_rate: float = 48000, tau: float = WFM_TAU,
+                 rds: bool = True, name: str = "wfm"):
         from fractions import Fraction
+        from openwebrx_tpu.models.stages import RdsTapStage
         frac = Fraction(int(audio_rate), int(self.fixed_if_rate))
-        super().__init__([
+        stages = [
             FmDemodStage(),
             LimitStage(),
+        ]
+        if rds:
+            stages.append(RdsTapStage())
+        stages += [
             FractionalDecimatorStage(frac.numerator, frac.denominator),
             DeemphasisStage(tau, name="wfm_deemphasis"),
-        ], name=name)
+        ]
+        super().__init__(stages, name=name)
         self.fixed_audio_rate = float(audio_rate)
 
 

@@ -465,6 +465,51 @@ class WaterfallStage(OpStage):
         return ("waterfall", self.fft_size, self.rows, self.averages, self.add_db)
 
 
+# ------------------------------------------------------------------- rds --
+class RdsTapStage(OpStage):
+    """Pass-through RDS tap inside the WFM chain (reference RdsChain meta
+    tap feeding redsea, ``csdr/chain/toolbox.py:100``; here the decode is
+    native — ``openwebrx_tpu/digimodes/rds.py``).
+
+    The 57 kHz RDS subcarrier of the FM composite is mixed to baseband,
+    low-passed and decimated by 16 ON DEVICE for the whole channel bank at
+    once, and emitted as the ``rds`` aux output (complex64,
+    rate/16 ≈ 15.6 kHz) for the host bit/group decoder; the composite
+    passes through unchanged.
+    """
+
+    DECIMATION = 16
+
+    def __init__(self, name: str = "rds_tap"):
+        self.name = name
+
+    def divisor(self, in_spec):
+        return self.DECIMATION
+
+    def plan(self, in_spec, block):
+        out = super().plan(in_spec, block)
+        # ±3 kHz around the subcarrier comfortably holds the ±2.4 kHz
+        # RDS spectrum and stays clear of 53 kHz stereo-difference edge
+        self.taps = firdes.lowpass_taps(3000.0 / in_spec.rate,
+                                        2400.0 / in_spec.rate)
+        self.rate = -57000.0 / in_spec.rate
+        return out
+
+    def init_state(self, batch_shape=()):
+        return (nco.shift_init(batch_shape),
+                fir.fir_init(len(self.taps), batch_shape, complex_input=True))
+
+    def apply(self, state, params, x):
+        phase, tail = state
+        phase, mixed = nco.shift_apply(
+            phase, jnp.float32(self.rate), x.astype(jnp.complex64))
+        tail, bb = fir.fir_apply(tail, self.taps, mixed, self.DECIMATION)
+        return (phase, tail), x, {"rds": bb}
+
+    def signature(self):
+        return ("rds_tap", self.DECIMATION, digest(self.taps))
+
+
 # ------------------------------------------------------------ client audio --
 class NoiseFilterStage(OpStage):
     """Spectral NR (reference NoiseFilter, csdr/chain/clientaudio.py:14).

@@ -306,6 +306,8 @@ class ChannelHandle:
         self.framer = SyncFramer()
         self.audio_cb = None
         self.smeter_cb = None
+        self.rds_cb = None              # WFM only: redsea-style RDS events
+        self._rds = None
         self._smeter_decim = 0
 
     # -- controls ---------------------------------------------------------
@@ -327,7 +329,21 @@ class ChannelHandle:
 
     def set_mode(self, mode: str, offset_hz: float | None = None):
         """Mode switch = move to another bank (reference: chain surgery)."""
+        self._rds = None
         self.runtime.switch_mode(self, mode, offset_hz)
+
+    def feed_rds(self, baseband: np.ndarray):
+        """RDS aux row from the WFM bank → native group decoder → rds_cb
+        (accumulated redsea-style metadata, reference RdsParser flow)."""
+        if self._rds is None:
+            from openwebrx_tpu.digimodes.rds import RdsDecoder
+            from openwebrx_tpu.models.analog import WFm
+            from openwebrx_tpu.models.stages import RdsTapStage
+            from openwebrx_tpu.services.toolbox import RdsParser
+            parser = RdsParser(self.rds_cb)
+            rate = WFm.fixed_if_rate / RdsTapStage.DECIMATION
+            self._rds = RdsDecoder(rate, parser.parse)
+        self._rds.process(baseband)
 
     def close(self):
         self.runtime.release_channel(self)
@@ -541,16 +557,18 @@ class DeviceRuntime:
             y_np = tuple(np.asarray(a) for a in y) if isinstance(y, tuple) \
                 else np.asarray(y)
             power_np = None
+            rds_np = None
             for key in aux:
-                if key.endswith("power_db"):
+                if key.endswith("power_db") and power_np is None:
                     power_np = np.asarray(aux[key])
-                    break
-            outputs[bucket] = (y_np, power_np)
+                elif key.endswith(".rds"):
+                    rds_np = np.asarray(aux[key])
+            outputs[bucket] = (y_np, power_np, rds_np)
         for handle in handles:
             out = outputs.get(handle.bucket_key)
             if out is None:
                 continue
-            y_np, power_np = out
+            y_np, power_np, rds_np = out
             if handle.audio_cb is not None:
                 bank_comp = banks[handle.bucket_key].compression
                 if bank_comp == "adpcm":
@@ -563,6 +581,8 @@ class DeviceRuntime:
                 # 4 reports/s from 16 measurements/s (reference
                 # csdr/chain/selector.py:104-105)
                 self._emit_smeter(handle, power_np[handle.slot])
+            if handle.rds_cb is not None and rds_np is not None:
+                handle.feed_rds(rds_np[handle.slot])
 
     def _emit_smeter(self, handle, power: np.ndarray):
         for i, v in enumerate(power):

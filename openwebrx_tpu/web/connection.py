@@ -259,6 +259,10 @@ class ReceiverConnection:
         self.handle = self.device.open_channel(mode, offset)
         self.handle.audio_cb = self._on_audio
         self.handle.smeter_cb = self._on_smeter
+        # WFM channels stream native-decoded RDS as metadata (reference
+        # RdsParser → MetaPanel flow, owrx/toolbox.py:88)
+        self.handle.rds_cb = lambda meta: self.send_json(
+            {"type": "metadata", "value": meta})
 
     # ------------------------------------------------------- up-messages --
     def handle_text(self, message: str):
