@@ -69,7 +69,8 @@ class FeatureDetector:
         "vdl2": _which("dumpvdl2"),
         "acars": _which("acarsdec"),
         "adsb": _which("dump1090"),
-        "cwskimmer": _which("csdr-cwskimmer"),
+        # native multi-channel skimmer (models/secondary.py CwSkimmerChain)
+        "cwskimmer": lambda: True,
         "digital_voice_digiham": _which("codecserver"),
         "digital_voice_m17": _which("m17-demod"),
         "digital_voice_freedv": _which("freedv_rx"),
@@ -86,6 +87,9 @@ class FeatureDetector:
         "sddc_connector": _which("sddc_connector"),
         "hpsdr_connector": _which("hpsdr_connector"),
         "runds_connector": _which("runds_connector"),
+        # direct/exec sources (stdout IQ, sources/direct.py)
+        "fifi_sdr": _which("arecord"),
+        "perseussdr": _which("perseustest"),
         "file_source": lambda: True,
     }
 

@@ -68,3 +68,74 @@ class CwDecoder:
         ch = MORSE.get(self._symbol, "")
         self._symbol = ""
         return ch + (" " if word_break and ch else "")
+
+
+class CwSkimmer:
+    """Multi-signal CW skimmer over spectrogram frames (the host side of
+    :class:`openwebrx_tpu.models.secondary.CwSkimmerChain`; replaces the
+    external csdr-cwskimmer binary, reference csdr/module/toolbox.py:62).
+
+    frames: (n, bins) centered magnitudes.  Active bins (local maxima with
+    sufficient SNR over the per-frame median noise floor) each get a
+    streaming CwDecoder; results are (freq_offset_hz, text) pairs, with
+    freq relative to the passband center.  Decoders idle out after
+    ``idle_seconds`` without keying.
+    """
+
+    def __init__(self, bin_hz: float, env_rate: float,
+                 max_decoders: int = 16, snr: float = 5.0,
+                 idle_seconds: float = 15.0):
+        self.bin_hz = float(bin_hz)
+        self.env_rate = float(env_rate)
+        self.max_decoders = max_decoders
+        self.snr = snr
+        self.idle_frames = idle_seconds * env_rate
+        self.decoders: dict[int, list] = {}   # bin → [CwDecoder, idle]
+
+    def process(self, frames: np.ndarray) -> list[tuple[float, str]]:
+        frames = np.asarray(frames, np.float32)
+        if frames.ndim != 2 or frames.shape[0] == 0:
+            return []
+        n, bins = frames.shape
+        # noise floor: per-frame median across bins, floored at a fraction
+        # of the strongest signal so leakage sidelobes (Hann: −31 dB)
+        # never register as signals on an otherwise quiet band
+        gmax = float(frames.max()) + 1e-12
+        floor = np.maximum(np.median(frames, axis=1, keepdims=True),
+                           0.02 * gmax)
+        snr = frames / floor
+        peak = snr.max(axis=0)
+        on_frames = (snr > self.snr).sum(axis=0)
+        # candidates: local maxima above the SNR gate (≥ both neighbors)
+        # that stay keyed for at least a dit-scale duration — key clicks
+        # splatter single hot frames across the whole passband and must
+        # not allocate decoders
+        min_on = max(4, int(0.016 * self.env_rate))
+        cand = np.flatnonzero(
+            (peak > self.snr) & (on_frames >= min_on)
+            & (peak >= np.roll(peak, 1)) & (peak >= np.roll(peak, -1)))
+        for b in cand:
+            b = int(b)
+            if b in self.decoders:
+                continue
+            if len(self.decoders) >= self.max_decoders:
+                break
+            self.decoders[b] = [CwDecoder(self.env_rate), 0.0]
+        out: list[tuple[float, str]] = []
+        drop = []
+        for b, slot in self.decoders.items():
+            dec, idle = slot
+            env = frames[:, b]
+            text = dec.decode(env)
+            slot[1] = 0.0 if peak[b] > self.snr else idle + n
+            if slot[1] > self.idle_frames:
+                drop.append(b)
+                continue
+            if text:
+                out.append((self.freq_of(b, bins), text))
+        for b in drop:
+            del self.decoders[b]
+        return out
+
+    def freq_of(self, b: int, bins: int) -> float:
+        return (b - bins // 2) * self.bin_hz

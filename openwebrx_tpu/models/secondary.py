@@ -17,12 +17,13 @@ from __future__ import annotations
 from fractions import Fraction
 
 import jax.numpy as jnp
+import numpy as np
 
 from openwebrx_tpu.models.selector import Selector
 from openwebrx_tpu.models.stages import (
     OpStage, ShiftStage, FirDecimateStage, BandpassStage, FmDemodStage,
 )
-from openwebrx_tpu.ops import timing
+from openwebrx_tpu.ops import fftops, timing
 from openwebrx_tpu.ops.formats import Format
 from openwebrx_tpu.runtime.chain import Chain
 
@@ -205,6 +206,83 @@ class CwChain(Chain):
         self.fine_shift.set_rate(-carrier_hz / IF_RATE)
 
 
+class SkimmerStftStage(OpStage):
+    """Complex IF → centered magnitude spectrogram frames (the device side
+    of the multi-channel CW skimmer: one batched STFT replaces the
+    reference's csdr-cwskimmer binary scanning the passband on CPU)."""
+
+    name = "skimmer_stft"
+
+    def __init__(self, fft_size: int = 256, hop: int = 48):
+        self.fft_size = int(fft_size)
+        self.hop = int(hop)
+
+    def divisor(self, in_spec):
+        return self.hop
+
+    def ratio(self, in_spec):
+        from fractions import Fraction
+        return Fraction(1, self.hop)
+
+    def plan(self, in_spec, block):
+        self.in_spec = in_spec
+        self.block = block
+        self.ends = ((np.arange(block // self.hop) + 1) * self.hop)\
+            .astype(np.int64)
+        self.window = fftops.hann_window(self.fft_size)
+        return (in_spec.with_format(Format.FLOAT)
+                .with_rate(in_spec.rate / self.hop), block // self.hop)
+
+    def _out_spec(self, in_spec):
+        return in_spec.with_format(Format.FLOAT)
+
+    def init_state(self, batch_shape=()):
+        return fftops.fft_init(self.fft_size, self.hop, batch_shape)
+
+    def apply(self, state, params, x):
+        state, p = fftops.fft_power_at(state, jnp.asarray(self.window), x,
+                                       self.fft_size, self.ends)
+        mag = jnp.sqrt(jnp.maximum(p, 0.0))
+        return state, fftops.fft_swap(mag), {}
+
+    def signature(self):
+        return ("skimmer_stft", self.fft_size, self.hop, len(self.ends))
+
+
+class CwSkimmerChain(Chain):
+    """Whole-passband CW skimmer (reference CwSkimmerDemodulator wrapping
+    the csdr-cwskimmer binary, csdr/chain/toolbox.py:140-170; here fully
+    native).  Selector slices a 24 kHz slab; the STFT stage produces
+    93.75 Hz bins at ~500 frames/s; the host tracks active bins and runs
+    one Morse decoder per signal."""
+
+    SKIM_RATE = 24000.0
+    FFT_SIZE = 256
+    HOP = 48
+
+    def __init__(self, in_rate: float, name: str = "cw_skimmer"):
+        self.selector = Selector(in_rate, self.SKIM_RATE, with_squelch=False)
+        super().__init__([
+            self.selector,
+            AuxWaterfallStage(),
+            SkimmerStftStage(self.FFT_SIZE, self.HOP),
+        ], name=name)
+
+    @property
+    def bin_hz(self) -> float:
+        return self.SKIM_RATE / self.FFT_SIZE
+
+    @property
+    def env_rate(self) -> float:
+        return self.SKIM_RATE / self.HOP
+
+    def set_frequency_offset(self, offset_hz: float):
+        self.selector.set_frequency_offset(offset_hz)
+
+    def set_carrier(self, carrier_hz: float):
+        pass                            # whole-passband mode has no carrier
+
+
 SECONDARY_FACTORY = {
     "bpsk31": lambda in_rate: PskChain(in_rate, 31.25),
     "bpsk63": lambda in_rate: PskChain(in_rate, 62.5),
@@ -212,4 +290,5 @@ SECONDARY_FACTORY = {
     "rtty450": lambda in_rate: RttyChain(in_rate, 50.0, 450.0),
     "rtty85": lambda in_rate: RttyChain(in_rate, 50.0, 85.0),
     "cwdecoder": lambda in_rate: CwChain(in_rate),
+    "cwskimmer": lambda in_rate: CwSkimmerChain(in_rate),
 }

@@ -92,6 +92,17 @@ class SecondaryHandle:
         if self.mode == "cwdecoder":
             cw = CwDecoder(CwChain.ENV_RATE)
             return lambda env: cw.decode(np.asarray(env))
+        if self.mode == "cwskimmer":
+            from openwebrx_tpu.digimodes.cw import CwSkimmer
+            from openwebrx_tpu.models.secondary import CwSkimmerChain
+            skimmer = CwSkimmer(self.chain.bin_hz, self.chain.env_rate)
+
+            def decode(frames):
+                # reference csdr-cwskimmer line format: '<freq>:<text>'
+                # (owrx/toolbox.py:379), freq relative to passband center
+                return "".join(f"{int(freq)}:{text}\n" for freq, text
+                               in skimmer.process(np.asarray(frames)))
+            return decode
         return lambda y: ""
 
     def set_offset(self, offset_hz: float):

@@ -14,6 +14,7 @@ from openwebrx_tpu.core.property import PropertyLayer, Properties
 from openwebrx_tpu.runtime.device import DeviceRuntime
 from openwebrx_tpu.sources.base import SdrSource
 from openwebrx_tpu.sources.connector import ConnectorSource
+from openwebrx_tpu.sources.direct import DirectSource
 from openwebrx_tpu.sources.file import FileSource, SignalSource
 
 logger = logging.getLogger(__name__)
@@ -35,6 +36,11 @@ SOURCE_TYPES = {
     "bladerf": ConnectorSource,
     "soapy_remote": ConnectorSource,
     "connector": ConnectorSource,
+    # direct/exec family: stdout IQ, restart on retune (reference
+    # owrx/source/direct.py) — nmux is obsolete here, see sources/direct.py
+    "fifi_sdr": DirectSource,
+    "perseussdr": DirectSource,
+    "direct": DirectSource,
 }
 
 

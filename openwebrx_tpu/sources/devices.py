@@ -120,6 +120,19 @@ DEVICE_TYPES: dict[str, DeviceDescription] = {
         "afedri", "Afedri", _SOAPY + "afedri", "soapy_connector"),
     "mirics": DeviceDescription(
         "mirics", "Mirics MSi001", _SOAPY + "mirisdr", "soapy_connector"),
+    # direct/exec family: driver writes IQ to stdout, restart on retune
+    # (reference owrx/source/{fifi_sdr,perseussdr}.py via DirectSource)
+    "fifi_sdr": DeviceDescription(
+        "fifi_sdr", "FiFi-SDR",
+        "arecord -D {device} -f S16_LE -r {samp_rate} -c 2 -t raw",
+        "fifi_sdr", sample_rates=[48000, 96000, 192000],
+        supports_ppm=False, extra_keys=["device"]),
+    "perseussdr": DeviceDescription(
+        "perseussdr", "Microtelecom Perseus",
+        "perseustest -p -d -1 -a -t 0 -o - -s {samp_rate} -f {center_freq} "
+        "-u {rf_gain}",
+        "perseussdr", sample_rates=[95000, 125000, 250000, 500000, 1000000,
+                                    2000000], supports_ppm=False),
     # attach-only / file types
     "file": DeviceDescription("file", "IQ file replay", None, "file_source",
                               supports_ppm=False,

@@ -430,7 +430,7 @@ class ReceiverConnection:
         self.secondary.fft_cb = lambda payload: self.send_binary(0x03, payload)
         self.send_json({"type": "secondary_config", "value": {
             "secondary_fft_size": int(Config.get().get("digimodes_fft_size", 2048)),
-            "if_samp_rate": 12000,
+            "if_samp_rate": 24000 if mode == "cwskimmer" else 12000,
             "secondary_bw": 31.25 if mode.startswith("bpsk") else 170,
         }})
 
