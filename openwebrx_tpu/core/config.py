@@ -12,8 +12,11 @@ reference so settings UIs and clients find the same tunables.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import threading
+
+logger = logging.getLogger(__name__)
 
 from openwebrx_tpu.core.property import (
     PropertyLayer, PropertyStack, Properties, DELETED,
@@ -168,6 +171,15 @@ class DynamicConfig(PropertyLayer):
                 with open(path) as f:
                     values = json.load(f)
             except (OSError, json.JSONDecodeError):
+                values = {}
+        if values:
+            # upgrade old settings layouts (reference Migrator semantics,
+            # owrx/config/migration.py v1→v8)
+            from openwebrx_tpu.core.migration import migrate
+            try:
+                values = migrate(values)
+            except ValueError:
+                logger.exception("settings file %s not usable", path)
                 values = {}
         super().__init__(**values)
 

@@ -1,0 +1,458 @@
+"""Web agents: daily-refresh cached database scrapers.
+
+Reference: ``owrx/web/`` — a WebAgent base class (cache file in the data
+directory, daily refresh thread, error backoff, ``owrx/web/__init__.py:15``)
+with agents for EIBI shortwave schedules (``owrx/web/eibi.py:19``),
+repeater databases (``owrx/web/repeaters.py:20``) and public receiver
+directories (``owrx/web/receivers.py:10``).
+
+Zero-egress deployments run entirely from cache files (drop a database
+file into the data directory and the agent serves it); deployments with
+network refresh them daily from the documented public endpoints.  Marker
+integration goes through ``Markers.loaders``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+import threading
+import urllib.request
+from datetime import datetime, timezone
+
+logger = logging.getLogger(__name__)
+
+REFRESH_SECONDS = 24 * 60 * 60
+MAX_ERRORS = 5
+
+
+def _data_dir() -> str:
+    from openwebrx_tpu.core.config import CoreConfig
+    d = CoreConfig.defaults.get("data_directory", "/tmp/openwebrx-data")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+class WebAgent:
+    """Cache-file-backed database with optional daily web refresh
+    (reference WebAgent, owrx/web/__init__.py:15-149)."""
+
+    def __init__(self, data_name: str):
+        self.data_name = data_name
+        self.lock = threading.Lock()
+        self.event = threading.Event()
+        self.thread: threading.Thread | None = None
+        self.error_count = 0
+        self.fresh = False
+        self.data = self._load_cache()
+
+    # -- cache ------------------------------------------------------------
+    def cache_file(self) -> str:
+        return os.path.join(_data_dir(), self.data_name)
+
+    def _load_cache(self):
+        try:
+            with open(self.cache_file()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return self.empty()
+
+    def _store_cache(self, data):
+        try:
+            with open(self.cache_file(), "w") as f:
+                json.dump(data, f)
+        except OSError:
+            logger.exception("could not write %s", self.cache_file())
+
+    def last_downloaded(self) -> float:
+        try:
+            return os.path.getmtime(self.cache_file())
+        except OSError:
+            return 0.0
+
+    # -- data -------------------------------------------------------------
+    def empty(self):
+        return []
+
+    def get_all(self):
+        with self.lock:
+            return self.data.copy() if hasattr(self.data, "copy") else self.data
+
+    def has_fresh_data(self) -> bool:
+        with self.lock:
+            fresh, self.fresh = self.fresh, False
+            return fresh
+
+    # -- refresh ----------------------------------------------------------
+    def _load_from_web(self):
+        raise NotImplementedError
+
+    def refresh(self) -> bool:
+        try:
+            data = self._load_from_web()
+        except Exception as e:
+            self.error_count += 1
+            logger.warning("%s refresh failed (%d/%d): %s", self.data_name,
+                           self.error_count, MAX_ERRORS, e)
+            return False
+        if data is None:
+            return False
+        with self.lock:
+            self.data = data
+            self.fresh = True
+        self._store_cache(data)
+        self.error_count = 0
+        return True
+
+    def start(self):
+        if self.thread is None:
+            self.event.clear()
+            self.thread = threading.Thread(target=self._run,
+                                           name=f"agent-{self.data_name}",
+                                           daemon=True)
+            self.thread.start()
+
+    def stop(self):
+        self.event.set()
+        if self.thread is not None:
+            self.thread.join(timeout=2)
+            self.thread = None
+
+    def _run(self):
+        while not self.event.is_set():
+            age = datetime.now().timestamp() - self.last_downloaded()
+            if age >= REFRESH_SECONDS and self.error_count < MAX_ERRORS:
+                self.refresh()
+            self.event.wait(60 * 60)
+
+    @staticmethod
+    def _open(url: str, timeout: float = 30.0):
+        req = urllib.request.Request(url, headers={
+            "User-Agent": "Mozilla/5.0 (X11; Linux x86_64; rv:135.0) "
+                          "Gecko/20100101 Firefox/135.0"})
+        return urllib.request.urlopen(req, timeout=timeout)
+
+
+# -------------------------------------------------------------------- EIBI
+
+# sked CSV: kHz:freq;Time(UTC);Days;ITU;Station;Lng;Target;Remarks;P;Start;Stop
+_EIBI_LINE = re.compile(
+    r"^(\d+(?:\.\d+)?);(\d{4})-(\d{4});([^;]*);([^;]*);([^;]*);([^;]*);"
+    r"([^;]*);([^;]*);(\d*);([^;]*);([^;]*)")
+
+
+class EibiAgent(WebAgent):
+    """EIBI shortwave broadcast schedules (reference owrx/web/eibi.py).
+
+    Entries: {freq, mode, time1, time2, days, itu, name, lang, tgt, src}.
+    ``current_entries()`` filters by weekday/time; ``current_bookmarks``
+    produces dial bookmarks for a frequency range; transmitter markers
+    need a location table (``eibi-locations.json`` in the data dir:
+    {src: [{name, lat, lon}]}) and appear via ``marker_loader``.
+    """
+
+    _instance = None
+
+    @staticmethod
+    def shared() -> "EibiAgent":
+        if EibiAgent._instance is None:
+            EibiAgent._instance = EibiAgent()
+        return EibiAgent._instance
+
+    def __init__(self):
+        super().__init__("eibi.json")
+        self.locations = self._load_locations()
+
+    def _load_locations(self) -> dict:
+        try:
+            with open(os.path.join(_data_dir(), "eibi-locations.json")) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _load_from_web(self):
+        # season-coded filename: Apr–Oct sked-aNN, Nov–Mar sked-bNN
+        now = datetime.now(timezone.utc)
+        code = ("a" if 4 <= now.month <= 10 else "b") + \
+            str((now.year if now.month >= 4 else now.year - 1) % 100)
+        url = f"http://www.eibispace.de/dx/sked-{code}.csv"
+        text = self._open(url).read().decode("cp1252", "replace")
+        return self.parse_csv(text)
+
+    @staticmethod
+    def guess_mode(name: str, lang: str, days: str, freq: int) -> str:
+        lowered = name.lower()
+        if lang == "-HF" or "hfdl" in lowered:
+            return "hfdl"
+        if lang == "-TY" or "rtty" in lowered:
+            return "rtty450"
+        if lang == "-CW":
+            return "cw"
+        if days == "USB":
+            return "usb"
+        if days == "LSB":
+            return "lsb"
+        if "digital" in lowered:
+            return "drm"
+        if " fax" in lowered:
+            return "fax"
+        if any(tag in lowered for tag in
+               ("volmet", " usb", "fsk", " ldoc", " car-", " nat-")):
+            return "usb"
+        return "usb" if freq < 4_800_000 else "am"
+
+    @classmethod
+    def parse_csv(cls, text: str) -> list[dict]:
+        out = []
+        for line in text.splitlines():
+            m = _EIBI_LINE.match(line.strip())
+            if m is None:
+                continue
+            freq = int(float(m.group(1)) * 1000)
+            days = m.group(4)
+            itu, name, lang, tgt, src = (m.group(i) for i in range(5, 10))
+            out.append({
+                "freq": freq,
+                "mode": cls.guess_mode(name, lang, days, freq),
+                "time1": int(m.group(2)),
+                "time2": int(m.group(3)),
+                "days": cls.convert_days(days),
+                "itu": itu,
+                "name": name,
+                "lang": lang,
+                "tgt": tgt,
+                "src": itu if not src else
+                src[1:] if src.startswith("/") else f"{itu}-{src}",
+            })
+        return out
+
+    @staticmethod
+    def convert_days(days: str) -> str:
+        """EIBI day field → 7-char Mo..Su mask ('.' = off)."""
+        mask = list("SMTWTFS"[1:] + "S")          # Mo Tu We Th Fr Sa Su
+        if not days or days in ("USB", "LSB"):
+            return "".join(mask)
+        names = ["Mo", "Tu", "We", "Th", "Fr", "Sa", "Su"]
+        if re.fullmatch(r"[1-7]-[1-7]", days):    # '1-5' style ranges
+            a, b = int(days[0]) - 1, int(days[2]) - 1
+            return "".join(c if a <= i <= b else "."
+                           for i, c in enumerate(mask))
+        if re.fullmatch(r"[1-7](,[1-7])*", days):
+            keep = {int(d) - 1 for d in days.split(",")}
+            return "".join(c if i in keep else "."
+                           for i, c in enumerate(mask))
+        listed = [days[i: i + 2] for i in range(0, len(days), 2)]
+        if all(d in names for d in listed):
+            keep = {names.index(d) for d in listed}
+            return "".join(c if i in keep else "."
+                           for i, c in enumerate(mask))
+        return "".join(mask)                       # unparsed: every day
+
+    # -- queries ---------------------------------------------------------
+    def current_entries(self, hours: int = 1, when: datetime | None = None):
+        now = when or datetime.now(timezone.utc)
+        day = now.weekday()
+        t1 = now.hour * 100 + now.minute
+        t2 = t1 + hours * 100
+        out = []
+        for entry in self.get_all():
+            if entry["days"][day] == ".":
+                continue
+            e1, e2 = entry["time1"], entry["time2"]
+            e2 = e2 if e2 > e1 else e2 + 2400
+            if e1 < t2 and e2 > t1:
+                out.append(entry)
+        return out
+
+    def current_bookmarks(self, frequency_range, hours: int = 0,
+                          when: datetime | None = None) -> list[dict]:
+        f1, f2 = sorted(frequency_range)
+        best: dict[int, dict] = {}
+        for entry in self.current_entries(hours=max(hours, 1), when=when):
+            if not f1 <= entry["freq"] <= f2:
+                continue
+            cur = best.get(entry["freq"])
+            if cur is None:
+                best[entry["freq"]] = {
+                    "name": entry["name"], "frequency": entry["freq"],
+                    "modulation": entry["mode"], "source": "eibi",
+                }
+        return sorted(best.values(), key=lambda b: b["frequency"])
+
+    def marker_loader(self):
+        """Markers.loaders entry: current transmitters with known sites."""
+        from openwebrx_tpu.core.markers import MarkerLocation
+        result = {}
+        for entry in self.current_entries():
+            for loc in self.locations.get(entry["src"], []):
+                key = f"eibi-{loc['name']}"
+                if key not in result:
+                    result[key] = MarkerLocation({
+                        "id": key, "lat": loc["lat"], "lon": loc["lon"],
+                        "mode": "Stations", "comment": loc["name"],
+                    })
+        return result
+
+
+# --------------------------------------------------------------- receivers
+
+class ReceiversAgent(WebAgent):
+    """Public receiver directories (reference owrx/web/receivers.py):
+    Receiverbook (OpenWebRX), KiwiSDR and WebSDR listings → map markers.
+
+    Cached format: [{id, lat, lon, url, type, name}]."""
+
+    _instance = None
+
+    @staticmethod
+    def shared() -> "ReceiversAgent":
+        if ReceiversAgent._instance is None:
+            ReceiversAgent._instance = ReceiversAgent()
+        return ReceiversAgent._instance
+
+    def __init__(self):
+        super().__init__("receivers.json")
+
+    def _load_from_web(self):
+        out = []
+        out.extend(self.scrape_websdr())
+        out.extend(self.scrape_kiwisdr())
+        return out
+
+    @staticmethod
+    def parse_websdr_list(text: str) -> list[dict]:
+        """websdr.org JSON list (one JSON object per line or array)."""
+        out = []
+        try:
+            entries = json.loads(text)
+        except json.JSONDecodeError:
+            entries = []
+            for line in text.splitlines():
+                line = line.strip().rstrip(",")
+                if line.startswith("{"):
+                    try:
+                        entries.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        continue
+        for e in entries:
+            if not all(k in e for k in ("lat", "lon", "url")):
+                continue
+            rid = re.sub(r"^.*://(.*?)(/.*)?$", r"\1", e["url"])
+            out.append({"id": rid, "lat": float(e["lat"]),
+                        "lon": float(e["lon"]), "url": e["url"],
+                        "type": "websdr", "name": e.get("desc", rid)})
+        return out
+
+    @staticmethod
+    def parse_kiwisdr_list(text: str) -> list[dict]:
+        """kiwisdr.com/.public/ page: fields in HTML-ish key=value lines."""
+        out = []
+        for block in text.split("<!-- gps -->"):
+            url = re.search(r"url=(\S+?)[\s<]", block)
+            gps = re.search(r"gps=\(?\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)", block)
+            name = re.search(r"name=([^\n<]+)", block)
+            if url and gps:
+                rid = re.sub(r"^.*://(.*?)(/.*)?$", r"\1", url.group(1))
+                out.append({"id": rid, "lat": float(gps.group(1)),
+                            "lon": float(gps.group(2)), "url": url.group(1),
+                            "type": "kiwisdr",
+                            "name": name.group(1).strip() if name else rid})
+        return out
+
+    def scrape_websdr(self):
+        url = "http://websdr.ewi.utwente.nl/~~websdrlistk?v=1&fmt=2&chseq=0"
+        return self.parse_websdr_list(self._open(url).read().decode())
+
+    def scrape_kiwisdr(self):
+        return self.parse_kiwisdr_list(
+            self._open("http://kiwisdr.com/.public/").read().decode())
+
+    def marker_loader(self):
+        from openwebrx_tpu.core.markers import MarkerLocation
+        return {f"recv-{r['id']}": MarkerLocation({
+            "id": f"recv-{r['id']}", "lat": r["lat"], "lon": r["lon"],
+            "mode": "Receivers", "comment": r.get("name", r["id"]),
+            "url": r.get("url"),
+        }) for r in self.get_all()}
+
+
+# --------------------------------------------------------------- repeaters
+
+class RepeatersAgent(WebAgent):
+    """Repeater directory near the receiver (reference
+    owrx/web/repeaters.py: Repeaterbook API).  Cached format:
+    [{name, lat, lon, freq, mode, comment}]."""
+
+    _instance = None
+
+    @staticmethod
+    def shared() -> "RepeatersAgent":
+        if RepeatersAgent._instance is None:
+            RepeatersAgent._instance = RepeatersAgent()
+        return RepeatersAgent._instance
+
+    def __init__(self):
+        super().__init__("repeaters.json")
+
+    def _load_from_web(self):
+        from openwebrx_tpu.core.config import Config
+        gps = Config.get().get("receiver_gps", {"lat": 0.0, "lon": 0.0})
+        url = ("https://www.repeaterbook.com/api/exportROW.php?"
+               f"qtype=prox&dunit=km&lat={gps['lat']}&lng={gps['lon']}"
+               "&dist=200")
+        return self.parse_repeaterbook(self._open(url).read().decode())
+
+    @staticmethod
+    def parse_repeaterbook(text: str) -> list[dict]:
+        data = json.loads(text)
+        out = []
+        for r in data.get("results", []):
+            try:
+                freq = int(float(r["Frequency"]) * 1e6)
+                lat, lon = float(r["Lat"]), float(r["Long"])
+            except (KeyError, TypeError, ValueError):
+                continue
+            mode = "nfm"
+            if str(r.get("DMR", "")).lower() == "yes":
+                mode = "dmr"
+            elif str(r.get("D-Star", "")).lower() == "yes":
+                mode = "dstar"
+            elif str(r.get("System Fusion", "")).lower() == "yes":
+                mode = "ysf"
+            out.append({"name": r.get("Callsign", "?"), "lat": lat,
+                        "lon": lon, "freq": freq, "mode": mode,
+                        "comment": r.get("Nearest City", "")})
+        return out
+
+    def current_bookmarks(self, frequency_range) -> list[dict]:
+        f1, f2 = sorted(frequency_range)
+        return [{"name": r["name"], "frequency": r["freq"],
+                 "modulation": r["mode"], "source": "repeaterbook"}
+                for r in self.get_all() if f1 <= r["freq"] <= f2]
+
+    def marker_loader(self):
+        from openwebrx_tpu.core.markers import MarkerLocation
+        return {f"rpt-{r['name']}-{r['freq']}": MarkerLocation({
+            "id": f"rpt-{r['name']}-{r['freq']}", "lat": r["lat"],
+            "lon": r["lon"], "mode": "Repeaters",
+            "comment": f"{r['name']} {r['freq'] / 1e6:.4f} MHz",
+        }) for r in self.get_all()}
+
+
+def register_marker_loaders():
+    """Hook the agents into the Markers refresh cycle and start their
+    daily refresh threads (called at server startup when
+    ``web_agents_enabled``)."""
+    from openwebrx_tpu.core.markers import Markers
+    for agent in (EibiAgent.shared(), ReceiversAgent.shared(),
+                  RepeatersAgent.shared()):
+        Markers.loaders[agent.data_name] = agent.marker_loader
+        agent.start()
+
+
+def stop_agents():
+    for cls in (EibiAgent, ReceiversAgent, RepeatersAgent):
+        if cls._instance is not None:
+            cls._instance.stop()

@@ -129,6 +129,12 @@ async def main_async(args):
     Services.start()
     from openwebrx_tpu.core.markers import Markers
     Markers.start()
+    # database web agents (EIBI/receivers/repeaters): cache-file backed,
+    # daily refresh when the deployment has network (reference GPS →
+    # markers → agents boot order, owrx/__main__.py:143-154)
+    if Config.get().get("web_agents_enabled", True):
+        from openwebrx_tpu.web.agents import register_marker_loaders
+        register_marker_loaders()
     router = build_router()
     server = HttpServer(router, port=args.port, ssl_context=make_ssl_context())
     await server.start()
@@ -145,6 +151,8 @@ async def main_async(args):
     await stop.wait()
     logger.info("shutting down")
     await server.stop()
+    from openwebrx_tpu.web.agents import stop_agents
+    stop_agents()
     Markers.stop()
     Services.stop()
     SdrService.stop_all()

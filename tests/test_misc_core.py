@@ -58,3 +58,50 @@ class TestGps:
         updater.stop()
         assert Config.get()["receiver_gps"]["lat"] == 48.1
         Config.reset()
+
+
+class TestConfigMigration:
+    def test_v1_to_v8_chain(self):
+        from openwebrx_tpu.core.migration import migrate
+        cfg = {
+            "version": 1,
+            "receiver_gps": [48.1, 11.5],
+            "waterfall_auto_level_margin": [3, 10],
+            "wsjt_queue_workers": 3,
+            "waterfall_min_level": -88,
+            "waterfall_max_level": -20,
+            "frequency_display_precision": 4,
+            "callsign_url": "https://www.qrz.com/db/{}",
+            "sdrs": {"dev": {"waterfall_min_level": -80,
+                             "waterfall_max_level": -30,
+                             "profiles": {"p": {"waterfall_min_level": -70,
+                                                "waterfall_max_level": -10}}}},
+        }
+        out = migrate(cfg)
+        assert out["version"] == 8
+        assert out["receiver_gps"] == {"lat": 48.1, "lon": 11.5}
+        assert out["decoding_queue_workers"] == 3
+        assert out["waterfall_levels"] == {"min": -88, "max": -20}
+        assert out["sdrs"]["dev"]["waterfall_levels"] == {"min": -80, "max": -30}
+        assert out["sdrs"]["dev"]["profiles"]["p"]["waterfall_levels"] == \
+            {"min": -70, "max": -10}
+        assert out["tuning_precision"] == 2
+        assert out["callsign_service"] == "qrz"
+        assert out["waterfall_auto_levels"] == {"min": 3, "max": 10}
+        assert "waterfall_auto_level_margin" not in out
+
+    def test_newer_version_rejected(self):
+        import pytest
+        from openwebrx_tpu.core.migration import migrate
+        with pytest.raises(ValueError):
+            migrate({"version": 99})
+
+    def test_dynamic_config_migrates_on_load(self, tmp_path):
+        import json
+        from openwebrx_tpu.core.config import DynamicConfig
+        path = tmp_path / "settings.json"
+        path.write_text(json.dumps({"version": 1,
+                                    "receiver_gps": [1.0, 2.0]}))
+        dyn = DynamicConfig(str(path))
+        assert dyn["receiver_gps"] == {"lat": 1.0, "lon": 2.0}
+        assert dyn["version"] == 8
