@@ -40,10 +40,12 @@ def main():
         bank.assign(float((i - M // 2) * FS / M * 0.9))
 
     rng = np.random.default_rng(0)
+    # complex64 can't cross the tunnel transport — stage blocks in HBM in
+    # the packed (block, 2) float32 form the bank consumes directly
     blocks = [
-        jax.device_put(
+        jax.device_put(bank.pack_input(
             (rng.standard_normal(bank.block)
-             + 1j * rng.standard_normal(bank.block)).astype(np.complex64) * 0.2)
+             + 1j * rng.standard_normal(bank.block)).astype(np.complex64) * 0.2))
         for _ in range(4)
     ]
     jax.block_until_ready(blocks)

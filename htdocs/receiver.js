@@ -185,6 +185,87 @@ class Waterfall {
   }
 }
 
+/* ------------------------------------------------------------ spectrum --- */
+/* Live spectrum line graph over the same FFT rows (reference
+ * lib/Spectrum.js): exponential averaging, filled trace. */
+class Spectrum {
+  constructor(canvas) {
+    this.canvas = canvas; this.ctx = canvas.getContext("2d");
+    this.avg = null; this.alpha = 0.5; this.enabled = false;
+  }
+  toggle() {
+    this.enabled = !this.enabled;
+    this.canvas.style.display = this.enabled ? "block" : "none";
+    if (this.enabled) {
+      this.canvas.width = this.canvas.clientWidth;
+      this.canvas.height = this.canvas.clientHeight;
+    }
+    return this.enabled;
+  }
+  update(row, view, min, max) {
+    if (!this.enabled) return;
+    if (this.avg === null || this.avg.length !== row.length)
+      this.avg = Float32Array.from(row);
+    for (let i = 0; i < row.length; i++)
+      this.avg[i] += (row[i] - this.avg[i]) * this.alpha;
+    const ctx = this.ctx, w = this.canvas.width, h = this.canvas.height;
+    const [lo, hi] = view;
+    ctx.fillStyle = "#0a0d10"; ctx.fillRect(0, 0, w, h);
+    ctx.beginPath();
+    for (let x = 0; x < w; x++) {
+      const bin = Math.floor((lo + (hi - lo) * x / w) * row.length);
+      const v = this.avg[Math.max(0, Math.min(row.length - 1, bin))];
+      const y = h - (v - min) / (max - min) * h;
+      if (x === 0) ctx.moveTo(x, y); else ctx.lineTo(x, y);
+    }
+    ctx.strokeStyle = "#3fa9f5"; ctx.lineWidth = 1; ctx.stroke();
+    ctx.lineTo(w, h); ctx.lineTo(0, h); ctx.closePath();
+    ctx.fillStyle = "rgba(63,169,245,.15)"; ctx.fill();
+  }
+}
+
+/* ------------------------------------------------------------- scanner --- */
+/* Client-side bookmark scanner (reference lib/Scanner.js:1-110): averages
+ * FFT bins at each scannable bookmark's offset and tunes to the first one
+ * whose level rises above squelch − 13 dB; resumes when it drops. */
+class Scanner {
+  constructor() { this.enabled = false; this.levels = {}; this.current = null;
+                  this.dwellUntil = 0; }
+  toggle() { this.enabled = !this.enabled; this.current = null;
+             return this.enabled; }
+  threshold() {
+    const sq = parseFloat(document.getElementById("squelch").value);
+    return (sq > -150 ? sq : -80) - 13;
+  }
+  update(row) {
+    if (!this.enabled || !app.bookmarks.length) return;
+    const sr = app.config.samp_rate, cf = app.config.center_freq;
+    if (!sr) return;
+    const now = Date.now();
+    const th = this.threshold();
+    for (const b of app.bookmarks) {
+      const frac = (b.frequency - cf) / sr + 0.5;
+      if (frac < 0 || frac > 1) continue;
+      const bin = Math.floor(frac * row.length);
+      const v = row[Math.max(0, Math.min(row.length - 1, bin))];
+      const key = b.frequency;
+      this.levels[key] = (this.levels[key] === undefined) ? v :
+        this.levels[key] * 0.7 + v * 0.3;
+      if (this.current === null && this.levels[key] > th) {
+        this.current = key;
+        this.dwellUntil = now + 2000;
+        if (b.modulation) setMode(b.modulation);
+        tune(b.frequency - cf);
+        log(`scanner: ${(b.frequency / 1e6).toFixed(4)} MHz (${b.name})`);
+      }
+    }
+    if (this.current !== null && now > this.dwellUntil &&
+        this.levels[this.current] <= th) {
+      this.current = null;             // signal gone: resume scanning
+    }
+  }
+}
+
 /* -------------------------------------------------------------- app ----- */
 const app = {
   ws: null, config: {}, modes: [], mode: "nfm", offset: 0,
@@ -193,7 +274,10 @@ const app = {
   waterfall: new Waterfall(document.getElementById("waterfall"),
                            document.getElementById("scale")),
   fftCodec: new AdpcmCodec(), autoLeveled: 0, dspStarted: false,
+  spectrum: new Spectrum(document.getElementById("spectrum")),
+  scanner: new Scanner(),
 };
+if (window.Plugins) Plugins.attach(app);
 
 function log(msg) {
   const el = document.getElementById("log");
@@ -222,6 +306,7 @@ function onMessage(evt) {
     }
     const msg = JSON.parse(evt.data);
     handleJson(msg);
+    if (window.Plugins) Plugins.fire("server_message", msg);
     return;
   }
   const data = new Uint8Array(evt.data);
@@ -238,6 +323,10 @@ function onMessage(evt) {
     }
     if (app.autoLeveled++ % 50 === 0) app.waterfall.autoLevel(row);
     app.waterfall.addRow(row);
+    app.spectrum.update(row, app.waterfall.viewRange(),
+                        app.waterfall.min, app.waterfall.max);
+    app.scanner.update(row);
+    if (window.Plugins) Plugins.fire("fft", row);
   } else if (type === 2) {
     app.audio.push(payload);
   }
@@ -488,6 +577,42 @@ document.getElementById("freq").addEventListener("wheel", (e) => {
   e.preventDefault();
   const step = parseFloat(app.config.tuning_step || 1000);
   tune(app.offset + (e.deltaY < 0 ? step : -step));
+});
+
+/* click the readout to type a frequency (MHz) */
+document.getElementById("freq").addEventListener("click", () => {
+  const cur = ((app.config.center_freq || 0) + app.offset) / 1e6;
+  const entry = prompt("Frequency (MHz):", cur.toFixed(5));
+  if (entry === null) return;
+  const f = parseFloat(entry) * 1e6;
+  if (isFinite(f)) tune(f - (app.config.center_freq || 0));
+});
+
+document.getElementById("spectrum-toggle").addEventListener("click", (e) => {
+  e.target.classList.toggle("active", app.spectrum.toggle());
+});
+
+document.getElementById("scanner-toggle").addEventListener("click", (e) => {
+  const on = app.scanner.toggle();
+  e.target.classList.toggle("active", on);
+  log(on ? "scanner started" : "scanner stopped");
+});
+
+/* keyboard shortcuts (reference lib/shortcuts) */
+window.addEventListener("keydown", (e) => {
+  if (e.target.tagName === "INPUT" || e.target.tagName === "SELECT") return;
+  const step = parseFloat(app.config.tuning_step || 1000);
+  const zoomEl = document.getElementById("zoom");
+  switch (e.key) {
+    case "ArrowLeft": tune(app.offset - step); e.preventDefault(); break;
+    case "ArrowRight": tune(app.offset + step); e.preventDefault(); break;
+    case "z": zoomEl.value = Math.min(+zoomEl.max, +zoomEl.value + 1);
+      zoomEl.dispatchEvent(new Event("input")); break;
+    case "Z": zoomEl.value = Math.max(0, +zoomEl.value - 1);
+      zoomEl.dispatchEvent(new Event("input")); break;
+    case "s": document.getElementById("spectrum-toggle").click(); break;
+    case " ": document.getElementById("mute").click(); e.preventDefault(); break;
+  }
 });
 
 connect();

@@ -195,15 +195,27 @@ class BandpassStage(OpStage):
             for l, h in zip(lo, hi)
         ])
         self._response = rows[0] if self._low.ndim == 0 else rows
+        self._response_packed = None     # device cache, rebuilt lazily
 
     def init_state(self, batch_shape=()):
         return bandpass.bandpass_init(self.ntaps, batch_shape)
 
     def params(self):
-        return jnp.asarray(self._response)
+        # complex params can't cross the jit boundary on tunnel backends —
+        # ship the response as (..., nfft, 2) float32 (runtime/chain.py).
+        # The packed response is cached as a DEVICE array: for a 1024-
+        # channel bank it is tens of MB, and re-uploading it every block
+        # would dominate the step time over a tunneled transport.
+        if getattr(self, "_response_packed", None) is None:
+            r = np.asarray(self._response)
+            self._response_packed = jnp.asarray(
+                np.stack([r.real, r.imag], axis=-1).astype(np.float32))
+        return self._response_packed
 
     def apply(self, state, params, x):
-        state, y = bandpass.bandpass_apply(state, params, x, self.ntaps, self.nfft)
+        import jax as _jax
+        response = _jax.lax.complex(params[..., 0], params[..., 1])
+        state, y = bandpass.bandpass_apply(state, response, x, self.ntaps, self.nfft)
         return state, y, {}
 
     def signature(self):

@@ -42,24 +42,37 @@ def shard_channelized_bank(bank, mesh: Mesh, chan_axis: str = "chan"):
             return jax.device_put(arr, by_chan)
         return jax.device_put(arr, repl)
 
+    # bank.state leaves are packed float32 (complex can't cross the jit
+    # boundary on tunnel backends — runtime/chain.py "complex boundary");
+    # unpack inside the sharded step, repack on the way out
+    from openwebrx_tpu.runtime.chain import (
+        _pack_leaf, _unpack_leaf, host_pack_complex,
+    )
+
     state = jax.tree.map(put, bank.state)
     chain = bank.chain
     proto = bank.prototype
     mm = bank.m
+    s_mask = bank._s_mask
 
     from openwebrx_tpu.ops import channelizer as pfb
 
-    def step(state, params, x):
-        tail, chain_state = state
+    def step(pstate, params, px):
+        tail, chain_state = jax.tree.map(_unpack_leaf, pstate, s_mask)
+        x = _unpack_leaf(px, True)
         tail, channels = pfb.channelize(tail, proto, x, mm)
         channels = jax.lax.with_sharding_constraint(channels, by_chan)
         chain_state, y, aux = chain.apply(chain_state, params, channels)
-        return (tail, chain_state), y, aux
+        return (jax.tree.map(_pack_leaf, (tail, chain_state)),
+                jax.tree.map(_pack_leaf, y), jax.tree.map(_pack_leaf, aux))
 
     stepj = jax.jit(step, donate_argnums=(0,))
 
     def run(state, x):
         params = jax.tree.map(put, chain.params())
+        import numpy as _np
+        if _np.iscomplexobj(x):
+            x = host_pack_complex(_np.asarray(x))
         x = jax.device_put(jnp.asarray(x), repl)
         return stepj(state, params, x)
 

@@ -132,6 +132,47 @@ class Chain(Stage):
 _PROGRAM_CACHE: dict[tuple, callable] = {}
 
 
+# --------------------------------------------------- complex boundary ----
+# Some TPU attachment backends (the axon tunnel in particular) cannot
+# create, transfer, or carry complex64 BUFFERS across a jit boundary —
+# complex compute inside a compiled program is fine, but complex jit
+# inputs, outputs, carried state, eagerly created complex arrays, and
+# hoisted complex array constants all fail with UNIMPLEMENTED.  Programs
+# therefore speak float32 at every boundary: complex leaves are packed as
+# (..., 2) float32 (re, im) on the way out and rebuilt with lax.complex
+# on the way in.  This costs one fused stack/slice per boundary and makes
+# every program portable across backends.
+
+def _pack_leaf(v):
+    """Inside jit: complex leaf → (..., 2) float32."""
+    if jnp.iscomplexobj(v):
+        return jnp.stack([jnp.real(v), jnp.imag(v)], axis=-1)
+    return v
+
+
+def _unpack_leaf(v, was_complex: bool):
+    """Inside jit: packed (..., 2) float32 → complex64."""
+    if was_complex:
+        return jax.lax.complex(v[..., 0], v[..., 1])
+    return v
+
+
+def _is_complex_aval(a) -> bool:
+    return jnp.issubdtype(a.dtype, jnp.complexfloating)
+
+
+def host_pack_complex(x: np.ndarray) -> np.ndarray:
+    """Host side: np complex64 → zero-copy (..., 2) float32 view."""
+    x = np.ascontiguousarray(x, dtype=np.complex64)
+    return x.view(np.float32).reshape(x.shape + (2,))
+
+
+def host_unpack_complex(v) -> np.ndarray:
+    """Host side: fetched (..., 2) float32 → np complex64 (zero copy)."""
+    a = np.ascontiguousarray(np.asarray(v, dtype=np.float32))
+    return a.view(np.complex64)[..., 0]
+
+
 class Program:
     """A chain compiled against (in_spec, block, batch_shape): owns the
     streaming state and the jitted step."""
@@ -143,7 +184,20 @@ class Program:
         self.block = block
         self.batch_shape = batch_shape
         self.out_spec, self.out_block = chain.plan(in_spec, block)
-        self.state = chain.init_state(batch_shape)
+        self._in_complex = bool(in_spec.format.is_complex)
+        params0 = chain.params()
+        x_aval = jax.ShapeDtypeStruct(
+            (block,), np.complex64 if self._in_complex else np.float32)
+        s_aval = jax.eval_shape(lambda: chain.init_state(batch_shape))
+        _, y_aval, aux_aval = jax.eval_shape(chain.apply, s_aval, params0,
+                                             x_aval)
+        self._s_mask = jax.tree.map(_is_complex_aval, s_aval)
+        self._y_mask = jax.tree.map(_is_complex_aval, y_aval)
+        self._aux_mask = jax.tree.map(_is_complex_aval, aux_aval)
+        # complex state buffers can't be created eagerly on the tunnel —
+        # build them inside a jit that returns the packed representation
+        self.state = jax.jit(
+            lambda: jax.tree.map(_pack_leaf, chain.init_state(batch_shape)))()
         # snapshot of structural keys at build time — rebuild() matches OLD
         # states to new workers through these, never through post-surgery
         # worker objects (whose states they are not)
@@ -154,20 +208,36 @@ class Program:
         key = (chain.signature(), in_spec, block, batch_shape, donate_state)
         step = _PROGRAM_CACHE.get(key)
         if step is None:
-            def _step(state, params, x):
-                return chain.apply(state, params, x)
+            s_mask, in_complex = self._s_mask, self._in_complex
+
+            def _step(pstate, params, px):
+                state = jax.tree.map(_unpack_leaf, pstate, s_mask)
+                x = _unpack_leaf(px, in_complex)
+                new_state, y, aux = chain.apply(state, params, x)
+                return (jax.tree.map(_pack_leaf, new_state),
+                        jax.tree.map(_pack_leaf, y),
+                        jax.tree.map(_pack_leaf, aux))
             step = jax.jit(_step, donate_argnums=(0,) if donate_state else ())
             _PROGRAM_CACHE[key] = step
         self._step = step
 
     def process(self, x):
-        """One block: host (or device) array in → (y, aux) device arrays out."""
+        """One block: host (or device) array in → (y, aux) out.  Complex
+        outputs come back as np complex64 (fetched); real outputs stay
+        device arrays."""
         if x.shape[-1] != self.block:
             raise ValueError(
                 f"Program expects blocks of {self.block} samples, got "
                 f"{x.shape[-1]} (shapes are static under jit — feed exactly "
                 f"Program.block samples per call)")
-        self.state, y, aux = self._step(self.state, self.chain.params(), x)
+        if self._in_complex:
+            x = host_pack_complex(np.asarray(x))
+        self.state, yp, auxp = self._step(self.state, self.chain.params(), x)
+        y = jax.tree.map(
+            lambda v, c: host_unpack_complex(v) if c else v, yp, self._y_mask)
+        aux = jax.tree.map(
+            lambda v, c: host_unpack_complex(v) if c else v, auxp,
+            self._aux_mask)
         return y, aux
 
     def rebuild(self, keep_state: bool = True):

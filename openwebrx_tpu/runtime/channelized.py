@@ -54,20 +54,45 @@ class ChannelizedBank:
         self._high = np.full(self.m, float(hi))
         self._push_params()
 
-        self.state = (
-            pfb.channelizer_init(self.m, taps_per_phase),
-            self.chain.init_state((self.m,)),
+        # complex buffers can't cross the jit boundary on tunnel backends
+        # (runtime/chain.py "complex boundary"): state is created packed
+        # inside a jit, inputs/outputs are packed float32
+        from openwebrx_tpu.runtime.chain import (
+            _is_complex_aval, _pack_leaf, _unpack_leaf,
         )
+
+        def _init():
+            return (pfb.channelizer_init(self.m, taps_per_phase),
+                    self.chain.init_state((self.m,)))
+
+        s_aval = jax.eval_shape(_init)
+        self._s_mask = jax.tree.map(_is_complex_aval, s_aval)
+        x_aval = jax.ShapeDtypeStruct((self.block,), np.complex64)
+        _, y_aval, aux_aval = jax.eval_shape(
+            self._raw_step, s_aval, self.chain.params(), x_aval)
+        self._y_mask = jax.tree.map(_is_complex_aval, y_aval)
+        self._aux_mask = jax.tree.map(_is_complex_aval, aux_aval)
+        self.state = jax.jit(
+            lambda: jax.tree.map(_pack_leaf, _init()))()
         self._step = jax.jit(self._make_step(), donate_argnums=(0,))
 
-    def _make_step(self):
-        chain, proto, m = self.chain, self.prototype, self.m
+    def _raw_step(self, state, params, x):
+        tail, chain_state = state
+        tail, channels = pfb.channelize(tail, self.prototype, x, self.m)
+        chain_state, y, aux = self.chain.apply(chain_state, params, channels)
+        return (tail, chain_state), y, aux
 
-        def step(state, params, x):
-            tail, chain_state = state
-            tail, channels = pfb.channelize(tail, proto, x, m)
-            chain_state, y, aux = chain.apply(chain_state, params, channels)
-            return (tail, chain_state), y, aux
+    def _make_step(self):
+        from openwebrx_tpu.runtime.chain import _pack_leaf, _unpack_leaf
+        s_mask, raw = self._s_mask, self._raw_step
+
+        def step(pstate, params, px):
+            state = jax.tree.map(_unpack_leaf, pstate, s_mask)
+            x = _unpack_leaf(px, True)
+            new_state, y, aux = raw(state, params, x)
+            return (jax.tree.map(_pack_leaf, new_state),
+                    jax.tree.map(_pack_leaf, y),
+                    jax.tree.map(_pack_leaf, aux))
 
         return step
 
@@ -108,11 +133,35 @@ class ChannelizedBank:
 
     # ------------------------------------------------------------- stream --
     def process(self, iq_block: np.ndarray):
-        """iq_block (block,) complex64 → (audio (M, out), aux)."""
-        if iq_block.shape[-1] != self.block:
-            raise ValueError(f"expected {self.block} samples, got {iq_block.shape[-1]}")
-        self.state, y, aux = self._step(self.state, self.chain.params(), iq_block)
+        """iq_block (block,) complex64 (np) or packed (block, 2) float32
+        (np or device-resident) → (audio (M, out), aux)."""
+        from openwebrx_tpu.runtime.chain import (
+            host_pack_complex, host_unpack_complex,
+        )
+        if np.iscomplexobj(iq_block):
+            if iq_block.shape[-1] != self.block:
+                raise ValueError(
+                    f"expected {self.block} samples, got {iq_block.shape[-1]}")
+            iq_block = host_pack_complex(np.asarray(iq_block))
+        elif not (iq_block.ndim >= 2 and iq_block.shape[-2] == self.block
+                  and iq_block.shape[-1] == 2):
+            raise ValueError(
+                f"expected {self.block} complex samples (or packed "
+                f"({self.block}, 2) float32), got {iq_block.shape}")
+        self.state, yp, auxp = self._step(self.state, self.chain.params(),
+                                          iq_block)
+        y = jax.tree.map(
+            lambda v, c: host_unpack_complex(v) if c else v, yp, self._y_mask)
+        aux = jax.tree.map(
+            lambda v, c: host_unpack_complex(v) if c else v, auxp,
+            self._aux_mask)
         return y, aux
+
+    def pack_input(self, iq_block: np.ndarray) -> np.ndarray:
+        """Host complex block → the packed float32 form process() accepts
+        (use with jax.device_put to stage benchmark input in HBM)."""
+        from openwebrx_tpu.runtime.chain import host_pack_complex
+        return host_pack_complex(np.asarray(iq_block))
 
     def signature(self):
         return ("channelized", self.m, self.mode, self.channel_block,

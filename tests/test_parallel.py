@@ -73,8 +73,12 @@ class TestChannelSharding:
         shard = lambda tree, spec: jax.tree.map(
             lambda a: jax.device_put(a, NamedSharding(mesh, spec)) if hasattr(a, "ndim") and a.ndim >= 1 else a,
             tree)
-        # state leaves lead with the channel axis
-        state_sharded = shard(bank.program.state, P("chan"))
+        # state leaves lead with the channel axis.  bank.program.state is
+        # the PACKED float32 form (runtime/chain.py "complex boundary") —
+        # chain.apply wants the unpacked pytree, which the CPU backend can
+        # create eagerly
+        state_sharded = shard(bank.chain.init_state((bank.capacity,)),
+                              P("chan"))
         from tests.test_chains import make_nfm_signal
         x = make_nfm_signal(2.4e6, bank.block / 2.4e6, 145000.0)[: bank.block]
 
