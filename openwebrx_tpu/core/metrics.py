@@ -60,6 +60,13 @@ class Metrics:
     def get(self, name: str) -> Metric | None:
         return self.metrics.get(name)
 
+    def direct(self, name: str) -> DirectMetric:
+        """Get-or-create a gauge."""
+        metric = self.metrics.get(name)
+        if not isinstance(metric, DirectMetric):
+            metric = self.add(name, DirectMetric())
+        return metric
+
     def counter(self, name: str) -> CounterMetric:
         m = self.metrics.get(name)
         if not isinstance(m, CounterMetric):

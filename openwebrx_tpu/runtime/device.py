@@ -525,14 +525,36 @@ class DeviceRuntime:
             self._thread = None
 
     def _loop(self):
+        # throughput observability (SURVEY §5.1: per-kernel samples/s —
+        # exposed at /metrics as device.<id>.* Prometheus gauges)
+        import time as _time
+        from openwebrx_tpu.core.metrics import Metrics
+        m = Metrics.shared()
+        prefix = f"device.{self.source.id}"
+        m_blocks = m.counter(f"{prefix}.blocks")
+        m_rate = m.direct(f"{prefix}.samples_per_s")
+        m_proc = m.direct(f"{prefix}.proc_block_ms")
+        m_rt = m.direct(f"{prefix}.realtime_factor")
+        rate = float(self.source.get_sample_rate() or 0)
+        ema_ms = None
         while self._running:
             block = self.source.read_block(timeout=1.0)
             if block is None:
                 continue
+            t0 = _time.perf_counter()
             try:
                 self._process_block(block)
             except Exception:
                 logger.exception("device %s block processing failed", self.source.id)
+                continue
+            dt = _time.perf_counter() - t0
+            ema_ms = dt * 1e3 if ema_ms is None else ema_ms * 0.9 + dt * 1e3 * 0.1
+            m_blocks.inc()
+            m_proc.set(round(ema_ms, 3))
+            if dt > 0:
+                m_rate.set(round(len(block) / dt))
+                if rate:
+                    m_rt.set(round(len(block) / dt / rate, 2))
 
     def _process_block(self, block: np.ndarray):
         # waterfall (shared per device, reference owrx/fft.py); rows are

@@ -176,9 +176,34 @@ def update_bookmarks(request: Request):
     return json_response({"ok": True, "count": len(new)})
 
 
+@require_auth
+async def profile_api(request: Request):
+    """Capture a JAX device profile (SURVEY §5.1 tracing/profiling build
+    target).  ?seconds=N (max 10) traces all device programs; the trace
+    directory path comes back for TensorBoard / xprof inspection."""
+    import asyncio
+    import tempfile
+    import time as _time
+
+    try:
+        seconds = min(10.0, float(request.query.get("seconds", "1")))
+    except (TypeError, ValueError):
+        seconds = 1.0
+    out_dir = tempfile.mkdtemp(prefix="owrx-jax-trace-")
+
+    def capture():
+        import jax
+        with jax.profiler.trace(out_dir):
+            _time.sleep(seconds)
+
+    await asyncio.to_thread(capture)
+    return json_response({"trace_dir": out_dir, "seconds": seconds})
+
+
 def register_routes(router):
     router.add("/api/devices", devices_api)
     router.add("/api/logs", logs_api)
+    router.add("/api/profile", profile_api, method="POST")
     router.add("/login", login, method="POST")
     router.add("/logout", logout, method="POST")
     router.add("/api/settings", get_settings)
