@@ -55,12 +55,18 @@ def shard_channelized_bank(bank, mesh: Mesh, chan_axis: str = "chan"):
     mm = bank.m
     s_mask = bank._s_mask
 
-    from openwebrx_tpu.ops import channelizer as pfb
+    from openwebrx_tpu.parallel.pfb import sharded_channelize
+
+    # distributed frontend: each chip folds its time slice (halo over
+    # ICI via ppermute), all_to_all re-shards to channel-sharded — the
+    # wideband input is SHARDED, not replicated (parallel/pfb.py)
+    fold = sharded_channelize(mesh, chan_axis, proto, mm)
+    by_time = NamedSharding(mesh, P(chan_axis))
 
     def step(pstate, params, px):
         tail, chain_state = jax.tree.map(_unpack_leaf, pstate, s_mask)
         x = _unpack_leaf(px, True)
-        tail, channels = pfb.channelize(tail, proto, x, mm)
+        tail, channels = fold(tail, x)
         channels = jax.lax.with_sharding_constraint(channels, by_chan)
         chain_state, y, aux = chain.apply(chain_state, params, channels)
         return (jax.tree.map(_pack_leaf, (tail, chain_state)),
@@ -73,7 +79,7 @@ def shard_channelized_bank(bank, mesh: Mesh, chan_axis: str = "chan"):
         import numpy as _np
         if _np.iscomplexobj(x):
             x = host_pack_complex(_np.asarray(x))
-        x = jax.device_put(jnp.asarray(x), repl)
+        x = jax.device_put(jnp.asarray(x), by_time)
         return stepj(state, params, x)
 
     return run, state
