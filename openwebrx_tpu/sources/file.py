@@ -83,11 +83,33 @@ def _psk_waveform(sig: dict, rate: float) -> np.ndarray:
     return np.repeat(np.asarray(phases, np.complex64), sps)
 
 
+def _packet_waveform(sig: dict, rate: float) -> np.ndarray:
+    """Looping FM-baseband waveform of an AFSK1200 AX.25 beacon (complex,
+    at carrier offset 0 — the mixer applies the offset)."""
+    from openwebrx_tpu.digimodes.afsk import afsk_modulate, hdlc_frame
+
+    def addr(call: str, last: bool) -> bytes:
+        call, _, ssid = call.partition("-")
+        raw = bytes((ord(c) << 1) for c in call.ljust(6))
+        return raw + bytes([0x60 | (int(ssid or 0) << 1) | (1 if last else 0)])
+
+    source = sig.get("source", "N0CALL-1")
+    info = sig.get("info", "!4903.50N/07201.75W-test beacon").encode()
+    frame = addr(sig.get("dest", "APRS"), False) + addr(source, True) \
+        + b"\x03\xf0" + info
+    nrzi = hdlc_frame(frame, flags=16)
+    audio = afsk_modulate(np.asarray(nrzi, bool), rate, 1200, 1200, 2200)
+    audio = np.concatenate([audio, np.zeros(int(rate * 0.3))])
+    dev = float(sig.get("deviation", 3000.0))
+    phase = 2 * np.pi * np.cumsum(dev * audio) / rate
+    return np.exp(1j * phase).astype(np.complex64)
+
+
 class SignalSource(SdrSource):
     """Synthetic multi-signal generator (tests/demos without hardware).
 
-    props: signals = [{kind: nfm|am|usb|tone, offset_hz, f_audio,
-    deviation, amplitude}], noise (float), samp_rate.
+    props: signals = [{kind: nfm|am|usb|psk|packet|tone, offset_hz,
+    f_audio, deviation, amplitude}], noise (float), samp_rate.
     """
 
     def _run_stream(self):
@@ -104,6 +126,8 @@ class SignalSource(SdrSource):
         for i, sig in enumerate(signals):
             if sig.get("kind") == "psk":
                 waveforms[i] = _psk_waveform(sig, rate)
+            elif sig.get("kind") == "packet":
+                waveforms[i] = _packet_waveform(sig, rate)
         block_seconds = block / rate
         next_deadline = time.monotonic()
         while not self._stop_requested:
@@ -130,7 +154,7 @@ class SignalSource(SdrSource):
                 elif kind == "usb":
                     out += (amp * np.exp(2j * np.pi * (off + f_audio) / rate * n)
                             ).astype(np.complex64)
-                elif kind == "psk":
+                elif kind in ("psk", "packet"):
                     wf = waveforms[i]
                     idx = n % len(wf)
                     out += (amp * wf[idx] * np.exp(2j * np.pi * off / rate * n)

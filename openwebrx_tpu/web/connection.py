@@ -234,6 +234,10 @@ class ReceiverConnection:
         if getattr(self, "digital_voice", None) is not None:
             self.digital_voice.close()
             self.digital_voice = None
+        if getattr(self, "exec_mode", None) is not None:
+            self.exec_mode[0].close()
+            self.exec_mode[1].close()
+            self.exec_mode = None
         self.device = None if not self.closed else self.device
 
     # --------------------------------------------------------- dsp wires --
@@ -257,6 +261,7 @@ class ReceiverConnection:
         offset = float(props.get("start_freq", center)) - center
         self._offset = offset
         self.handle = self.device.open_channel(mode, offset)
+        self._mod = mode
         self.handle.audio_cb = self._on_audio
         self.handle.smeter_cb = self._on_smeter
         # WFM channels stream native-decoded RDS as metadata (reference
@@ -306,27 +311,32 @@ class ReceiverConnection:
     def set_dsp_properties(self, params: dict):
         if self.handle is None:
             return
-        if "mod" in params and params["mod"] != self.handle.mode:
+        # compare against the EFFECTIVE mode: with an attachment active
+        # (packet/DV/DRM/…) the underlying bank handle still reports the
+        # analog mode it feeds from, so handle.mode alone would make
+        # "switch back to nfm" a no-op that never detaches the decoder
+        effective = getattr(self, "_mod", None) or self.handle.mode
+        if "mod" in params and params["mod"] != effective:
             mod = params["mod"]
+            self._mod = mod
             from openwebrx_tpu.models.digital_voice import DV_FACTORY
             from openwebrx_tpu.models.secondary import SECONDARY_FACTORY
             from openwebrx_tpu.runtime.device import ExecAudioHandle
+            from openwebrx_tpu.services.exec_modes import EXEC_MODES
             if mod in SECONDARY_FACTORY:
-                self._set_exec_audio(None)
-                self._set_digital_voice(None)
+                self._clear_attachments()
                 self._set_secondary(mod)
             elif mod in ExecAudioHandle.MODES:
-                self._set_secondary(None)
-                self._set_digital_voice(None)
+                self._clear_attachments()
                 self._set_exec_audio(mod)
             elif mod in DV_FACTORY:
-                self._set_secondary(None)
-                self._set_exec_audio(None)
+                self._clear_attachments()
                 self._set_digital_voice(mod)
+            elif mod in EXEC_MODES:
+                self._clear_attachments()
+                self._set_exec_mode(mod)
             else:
-                self._set_secondary(None)
-                self._set_exec_audio(None)
-                self._set_digital_voice(None)
+                self._clear_attachments()
                 try:
                     self.handle.set_mode(mod)
                 except KeyError:
@@ -344,6 +354,8 @@ class ReceiverConnection:
                 self.exec_audio.set_offset(self._offset)
             if getattr(self, "digital_voice", None) is not None:
                 self.digital_voice.set_offset(self._offset)
+            if getattr(self, "exec_mode", None) is not None:
+                self.exec_mode[1].set_offset(self._offset)
         if "secondary_offset_freq" in params and self.secondary is not None:
             self.secondary.set_carrier(float(params["secondary_offset_freq"]))
         if "squelch_level" in params:
@@ -356,6 +368,51 @@ class ReceiverConnection:
             self._nr_threshold = float(params.get("nr_threshold",
                                                   getattr(self, "_nr_threshold", 0.0)))
             self.handle.set_nr(self._nr_threshold if self._nr_enabled else -100.0)
+
+    def _clear_attachments(self):
+        """Drop every mode attachment (secondary/exec-audio/DV/exec-mode)
+        before switching (reference: chain surgery tears the old demod
+        down first, owrx/dsp.py:654-680)."""
+        self._set_secondary(None)
+        self._set_exec_audio(None)
+        self._set_digital_voice(None)
+        self._set_exec_mode(None)
+
+    def _set_exec_mode(self, mode: str | None):
+        """Attach/detach a text-decode listener mode (packet/page/selcall/
+        EAS…): the bank demodulates the underlying analog mode into a raw
+        s16 service slot feeding the (native or subprocess) decoder; parsed
+        events stream to the panel as secondary_demod JSON lines
+        (reference PacketDemodulator / MultimonDemodulator family)."""
+        if getattr(self, "exec_mode", None) is not None:
+            svc, handle = self.exec_mode
+            svc.close()
+            handle.close()
+            self.exec_mode = None
+            if self.handle is not None:
+                self.handle.audio_cb = self._on_audio
+        if mode is None or self.device is None:
+            return
+        from openwebrx_tpu.services.exec_modes import (
+            EXEC_MODES, ExecModeService, mode_available,
+        )
+        if not mode_available(mode):
+            self.send_json({"type": "demodulator_error",
+                            "value": f"{mode}: decoder not available"})
+            return
+        if self.handle is not None:
+            self.handle.audio_cb = None      # text modes render no audio
+        underlying = EXEC_MODES[mode].get("underlying", "nfm")
+
+        def on_event(event: dict):
+            self.send_json({"type": "secondary_demod",
+                            "value": json.dumps(event) + "\n"})
+
+        svc = ExecModeService(mode, on_event)
+        handle = self.device.open_channel(underlying, self._offset,
+                                          service=True)
+        handle.audio_cb = lambda wire, hd=False: svc.feed(wire)
+        self.exec_mode = (svc, handle)
 
     def _set_exec_audio(self, mode: str | None):
         """Attach/detach an external-binary audio mode (DRM/FreeDV/M17/…);

@@ -281,3 +281,77 @@ class TestChatAndClients:
             await server.stop()
             SdrService.stop_all()
             ClientRegistry.reset()
+
+
+class TestPacketModeOverProtocol:
+    """Interactive packet listening: NFM bank slot → native AFSK/HDLC →
+    APRS events on the secondary_demod stream (no direwolf binary)."""
+
+    def test_aprs_beacon_decoded(self):
+        asyncio.run(self._session())
+
+    async def _session(self):
+        from openwebrx_tpu.sdr import SdrService
+        from openwebrx_tpu.web.server import build_router
+        from openwebrx_tpu.web.http import HttpServer
+
+        Config.reset()
+        cfg = Config.get()
+        cfg["sdrs"] = {
+            "demo": {
+                "name": "Packet Demo", "type": "signal",
+                "samp_rate": 240000, "center_freq": 144800000,
+                "throttle": False, "noise": 1e-4,
+                "signals": [
+                    {"kind": "packet", "offset_hz": 14500.0,
+                     "amplitude": 0.5, "source": "W1TST-9",
+                     "info": "!4903.50N/07201.75W-protocol test"},
+                ],
+                "profiles": {
+                    "default": {"name": "Demo", "center_freq": 144800000,
+                                "samp_rate": 240000,
+                                "start_freq": 144814500,
+                                "start_mod": "nfm"},
+                },
+            }
+        }
+        SdrService.load()
+        server = HttpServer(build_router(), port=0, host="127.0.0.1")
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        try:
+            client = await WsTestClient.connect(port)
+            await client.receive()
+            await client.send_text("SERVER DE CLIENT client=test type=receiver")
+            await client.expect_json("config")
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol", "action": "start"}))
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol",
+                 "params": {"offset_freq": 14500, "mod": "packet"}}))
+            text = ""
+            async def gather():
+                nonlocal text
+                while "W1TST-9" not in text:
+                    msg = await client.expect_json("secondary_demod",
+                                                   timeout=60)
+                    text += msg["value"]
+            await asyncio.wait_for(gather(), 90)
+            event = json.loads([l for l in text.splitlines()
+                                if "W1TST-9" in l][0])
+            assert event["mode"] == "APRS"
+            assert event["source"] == "W1TST-9"
+            assert abs(event.get("lat", 0) - 49.0583) < 0.01
+            # switching back to the underlying analog mode must detach the
+            # decoder and resume bank audio (regression: the effective-mode
+            # check, not handle.mode, gates the switch)
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol",
+                 "params": {"offset_freq": 14500, "mod": "nfm"}}))
+            audio = await client.collect_binary(0x02, 3, timeout=60)
+            assert len(audio) == 3
+            await client.close()
+        finally:
+            await server.stop()
+            SdrService.stop_all()
+            Config.reset()
