@@ -78,8 +78,13 @@ class AudioEngine {
     node.connect(this.ctx.destination);
     this.node = node; this.started = true;
   }
-  push(bytes) {
+  push(bytes, rate) {
     if (!this.started) return;
+    if (rate && rate !== this.rate) {        // e.g. WFM HD switches to 48 kHz
+      this.rate = rate;
+      this.decoder = new SyncAudioDecoder();
+      this.buffer = new Float32Array(0);
+    }
     const pcm = this.decoder.decode(bytes);
     const ratio = this.ctx.sampleRate / this.rate;
     const n = Math.floor(pcm.length * ratio);
@@ -277,6 +282,8 @@ const app = {
   spectrum: new Spectrum(document.getElementById("spectrum")),
   scanner: new Scanner(),
 };
+app.secondaryWf = new SecondaryWaterfall(document.getElementById("secondary-wf"));
+app.imagePanel = new ImagePanel(document.getElementById("digi-image"));
 if (window.Plugins) Plugins.attach(app);
 
 function log(msg) {
@@ -328,8 +335,88 @@ function onMessage(evt) {
     app.scanner.update(row);
     if (window.Plugins) Plugins.fire("fft", row);
   } else if (type === 2) {
-    app.audio.push(payload);
+    app.audio.push(payload, 12000);
+  } else if (type === 4) {                   // HD (48 kHz) audio for WFM
+    app.audio.push(payload, 48000);
+  } else if (type === 3) {                   // secondary (digimode) FFT
+    app.secondaryWf.addRow(payload);
   }
+}
+
+/* secondary waterfall: ADPCM rows like the main FFT (pad 10, /100) */
+class SecondaryWaterfall {
+  constructor(canvas) {
+    this.canvas = canvas; this.ctx = canvas.getContext("2d");
+    this.codec = new AdpcmCodec();
+  }
+  show(on) { this.canvas.style.display = on ? "block" : "none"; }
+  addRow(payload) {
+    if (this.canvas.style.display === "none") return;
+    this.codec.reset();
+    const i16 = this.codec.decode(payload);
+    const row = new Float32Array(Math.max(0, i16.length - 10));
+    for (let i = 0; i < row.length; i++) row[i] = i16[i + 10] / 100;
+    const w = this.canvas.width, h = this.canvas.height;
+    this.ctx.drawImage(this.canvas, 0, 0, w, h - 1, 0, 1, w, h - 1);
+    const img = this.ctx.createImageData(w, 1), cm = app.waterfall.colormap;
+    let lo = Infinity, hi = -Infinity;
+    for (const v of row) { if (v < lo) lo = v; if (v > hi) hi = v; }
+    const span = Math.max(10, hi - lo);
+    for (let x = 0; x < w; x++) {
+      const v = row[Math.floor(x / w * row.length)] || lo;
+      let t = Math.round((v - lo) / span * 255);
+      t = Math.max(0, Math.min(255, t));
+      img.data[x*4] = cm[t*3]; img.data[x*4+1] = cm[t*3+1];
+      img.data[x*4+2] = cm[t*3+2]; img.data[x*4+3] = 255;
+    }
+    this.ctx.putImageData(img, 0, 0);
+  }
+}
+
+/* SSTV/FAX image panel: draws base64 pixel rows streamed as JSON lines */
+class ImagePanel {
+  constructor(canvas) { this.canvas = canvas; this.ctx = canvas.getContext("2d"); }
+  show(on) { this.canvas.style.display = on ? "block" : "none"; }
+  drawRow(msg) {
+    this.show(true);
+    const bin = atob(msg.pixels);
+    const w = msg.width, grey = bin.length === w;  // fax rows are greyscale
+    if (this.canvas.width !== w) { this.canvas.width = w; }
+    const y = msg.line % this.canvas.height;
+    const img = this.ctx.createImageData(w, 1);
+    for (let x = 0; x < w; x++) {
+      const o = grey ? x : x * 3;
+      img.data[x*4] = bin.charCodeAt(o);
+      img.data[x*4+1] = bin.charCodeAt(grey ? o : o + 1);
+      img.data[x*4+2] = bin.charCodeAt(grey ? o : o + 2);
+      img.data[x*4+3] = 255;
+    }
+    this.ctx.putImageData(img, 0, y);
+  }
+}
+
+/* per-mode decode table (reference lib/MessagePanel.js) */
+function addMessageRow(ev) {
+  const table = document.getElementById("messages");
+  table.style.display = "table";
+  const body = document.getElementById("messages-body");
+  const tr = document.createElement("tr");
+  const from = ev.source || ev.address || ev.callsign ||
+               (ev.station ? `station ${ev.station}` : "") || ev.flight || "";
+  const info = ev.comment || ev.message || ev.text || ev.header ||
+               (ev.lat !== undefined ? `${ev.lat.toFixed(4)} ${ev.lon.toFixed(4)}` : "") ||
+               (ev.format ? `${ev.format} ${ev.category || ""} ${ev.eos || ""}` : "") ||
+               ev.filename || "";
+  const utc = new Date().toISOString().slice(11, 19);
+  for (const text of [utc, ev.mode || "", from, info]) {
+    const td = document.createElement("td");
+    td.style.padding = "3px 6px";
+    td.textContent = typeof text === "string" ? text : JSON.stringify(text);
+    tr.appendChild(td);
+  }
+  body.appendChild(tr);
+  while (body.children.length > 50) body.removeChild(body.firstChild);
+  tr.scrollIntoView({block: "nearest"});
 }
 
 function handleJson(msg) {
@@ -347,6 +434,7 @@ function handleJson(msg) {
     case "modes":
       app.modes = msg.value;
       renderModes();
+      renderDigimodes();
       break;
     case "profiles": {
       const sel = document.getElementById("profiles");
@@ -366,13 +454,32 @@ function handleJson(msg) {
     }
     case "log_message": log(msg.value); break;
     case "secondary_demod": {
-      const el = document.getElementById("decoded");
-      el.textContent += msg.value;
-      if (el.textContent.length > 4000)
-        el.textContent = el.textContent.slice(-3000);
-      el.scrollTop = el.scrollHeight;
+      /* JSON event lines route to the image canvas / message table;
+       * plain text scrolls in the decoded-text pane */
+      let plain = "";
+      for (const line of String(msg.value).split("\n")) {
+        if (line.startsWith("{")) {
+          try {
+            const ev = JSON.parse(line);
+            if (ev.pixels !== undefined) app.imagePanel.drawRow(ev);
+            else addMessageRow(ev);
+            continue;
+          } catch (e) { /* fall through to text */ }
+        }
+        if (line) plain += line + "\n";
+      }
+      if (plain) {
+        const el = document.getElementById("decoded");
+        el.textContent += plain;
+        if (el.textContent.length > 4000)
+          el.textContent = el.textContent.slice(-3000);
+        el.scrollTop = el.scrollHeight;
+      }
       break;
     }
+    case "secondary_config":
+      app.secondaryWf.show(true);
+      break;
     case "clients":
       document.getElementById("clients").textContent = msg.value;
       break;
@@ -560,9 +667,43 @@ document.getElementById("profiles").addEventListener("change", (e) => {
   send({type: "selectprofile", params: {profile: e.target.value}});
 });
 
-document.getElementById("secondary").addEventListener("change", (e) => {
-  send({type: "dspcontrol", params: {secondary_mod: e.target.value}});
+/* digimode list from the server modes registry (reference demodulator
+ * panel DIG selector): interactive digimodes ride secondary_mod on their
+ * underlying analog mode; listener modes (packet/page/…, underlying
+ * "empty") switch mod directly */
+function renderDigimodes() {
+  const sel = document.getElementById("secondary");
+  sel.innerHTML = '<option value="">off</option>';
+  for (const m of app.modes.filter(m => m.type === "digimode" && !m.service)) {
+    const o = document.createElement("option");
+    o.value = m.modulation; o.textContent = m.name;
+    sel.appendChild(o);
+  }
+}
+
+function clearDigiPanels() {
   document.getElementById("decoded").textContent = "";
+  document.getElementById("messages-body").innerHTML = "";
+  document.getElementById("messages").style.display = "none";
+  app.secondaryWf.show(false);
+  app.imagePanel.show(false);
+}
+
+document.getElementById("secondary").addEventListener("change", (e) => {
+  clearDigiPanels();
+  const mod = e.target.value;
+  if (!mod) { send({type: "dspcontrol", params: {secondary_mod: ""}}); return; }
+  const m = app.modes.find(x => x.modulation === mod) || {};
+  const underlying = (m.underlying || [])[0];
+  if (!underlying || underlying === "empty") {
+    send({type: "dspcontrol", params: {mod: mod, offset_freq: app.offset}});
+  } else {
+    const params = {mod: underlying, secondary_mod: mod,
+                    offset_freq: app.offset};
+    if (m.bandpass) { params.low_cut = m.bandpass.low_cut;
+                      params.high_cut = m.bandpass.high_cut; }
+    send({type: "dspcontrol", params});
+  }
 });
 
 document.getElementById("chat-input").addEventListener("keydown", (e) => {

@@ -85,12 +85,18 @@ class DscDecoder:
         for b in bits:
             self._bits.append(int(b))
             if not self._synced:
-                if len(self._bits) >= 10:
-                    val = decode_symbol(self._bits[-10:])
-                    if val is not None:
+                # alignment lock needs TWO consecutive valid symbols at the
+                # same 10-bit spacing: a single window validating by chance
+                # (idle/noise before the call) must not freeze a wrong
+                # boundary for the whole transmission
+                if len(self._bits) >= 20:
+                    first = decode_symbol(self._bits[-20:-10])
+                    second = decode_symbol(self._bits[-10:])
+                    if first is not None and second is not None:
                         self._synced = True
                         self._bits = []
-                        self._push(val)
+                        self._push(first)
+                        self._push(second)
                 continue
             if len(self._bits) == 10:
                 val = decode_symbol(self._bits)

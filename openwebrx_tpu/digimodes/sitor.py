@@ -88,13 +88,18 @@ class SitorBDecoder:
         for b in bits:
             self._bits.append(int(b))
             if not self._synced:
-                if len(self._bits) >= 7:
-                    word = self._pack(self._bits[-7:])
-                    if weight(word) == 4 and word in CODE_TO_ITA2:
-                        # tentative alignment on a valid codeword boundary
+                # lock only on TWO consecutive valid codewords at the same
+                # 7-bit spacing — a lone window validating by chance in
+                # idle/noise would freeze a wrong boundary permanently
+                if len(self._bits) >= 14:
+                    w1 = self._pack(self._bits[-14:-7])
+                    w2 = self._pack(self._bits[-7:])
+                    if (weight(w1) == 4 and w1 in CODE_TO_ITA2
+                            and weight(w2) == 4 and w2 in CODE_TO_ITA2):
                         self._synced = True
                         self._bits = []
-                        out.append(self._accept(word))
+                        out.append(self._accept(w1))
+                        out.append(self._accept(w2))
                 continue
             if len(self._bits) == 7:
                 word = self._pack(self._bits)

@@ -12,7 +12,9 @@ typically 120 lines/minute, IOC 576.
 
 from __future__ import annotations
 
-from openwebrx_tpu.models.secondary import IF_RATE, RealToComplexStage
+from openwebrx_tpu.models.secondary import (
+    AuxWaterfallStage, IF_RATE, RealToComplexStage,
+)
 from openwebrx_tpu.models.selector import Selector
 from openwebrx_tpu.models.stages import (
     BandpassStage, FirDecimateStage, FmDemodStage, ShiftStage,
@@ -41,6 +43,7 @@ class FaxChain(Chain):
                                       name="fax_bandpass")
         super().__init__([
             self.selector,
+            AuxWaterfallStage(),
             self.fine_shift,
             self.bandpass,
             FmDemodStage(),

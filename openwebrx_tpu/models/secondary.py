@@ -283,6 +283,12 @@ class CwSkimmerChain(Chain):
         pass                            # whole-passband mode has no carrier
 
 
+def _fax_chain(in_rate: float, name: str) -> "Chain":
+    # lazy: models.fax imports from this module
+    from openwebrx_tpu.models.fax import FaxChain
+    return FaxChain(in_rate, name=name)
+
+
 SECONDARY_FACTORY = {
     "bpsk31": lambda in_rate: PskChain(in_rate, 31.25),
     "bpsk63": lambda in_rate: PskChain(in_rate, 62.5),
@@ -291,4 +297,15 @@ SECONDARY_FACTORY = {
     "rtty85": lambda in_rate: RttyChain(in_rate, 50.0, 85.0),
     "cwdecoder": lambda in_rate: CwChain(in_rate),
     "cwskimmer": lambda in_rate: CwSkimmerChain(in_rate),
+    # maritime telex stacks ride the RTTY FSK pipeline at 100 Bd / 170 Hz
+    # (reference SitorBDemodulator/DscDemodulator/NavtexDemodulator,
+    # csdr/chain/digimodes.py:243-322); the CCIR 476/493 layers are host-side
+    "sitorb": lambda in_rate: RttyChain(in_rate, 100.0, 170.0, name="sitorb"),
+    "navtex": lambda in_rate: RttyChain(in_rate, 100.0, 170.0, name="navtex"),
+    "dsc": lambda in_rate: RttyChain(in_rate, 100.0, 170.0, name="dsc"),
+    # image modes share the subcarrier-frequency chain (1900 Hz ± 400);
+    # host assembles lines (reference SstvDemodulator/FaxDemodulator,
+    # csdr/chain/digimodes.py:185-209)
+    "sstv": lambda in_rate: _fax_chain(in_rate, "sstv"),
+    "fax": lambda in_rate: _fax_chain(in_rate, "fax"),
 }

@@ -16,6 +16,7 @@ subscribers must be quick / enqueue):
 from __future__ import annotations
 
 import logging
+import os
 import threading
 
 import numpy as np
@@ -103,7 +104,121 @@ class SecondaryHandle:
                 return "".join(f"{int(freq)}:{text}\n" for freq, text
                                in skimmer.process(np.asarray(frames)))
             return decode
+        if self.mode == "sitorb":
+            from openwebrx_tpu.digimodes.sitor import SitorBDecoder
+            sitor = SitorBDecoder()
+            return lambda symbols: sitor.feed_bits(
+                (np.asarray(symbols).real > 0).astype(np.uint8))
+        if self.mode in ("navtex", "dsc"):
+            import json as _json
+
+            events: list[dict] = []
+            if self.mode == "navtex":
+                from openwebrx_tpu.digimodes.sitor import NavtexDecoder
+                inner = NavtexDecoder(events.append)
+            else:
+                from openwebrx_tpu.digimodes.dsc import DscDecoder
+                inner = DscDecoder(events.append)
+
+            def decode(symbols):
+                inner.feed_bits((np.asarray(symbols).real > 0).astype(np.uint8))
+                out = "".join(_json.dumps(m) + "\n" for m in events)
+                events.clear()
+                return out
+            return decode
+        if self.mode in ("sstv", "fax"):
+            return self._make_image_decoder()
         return lambda y: ""
+
+    def _make_image_decoder(self):
+        """SSTV/FAX: host line assembly on the subcarrier-frequency stream;
+        every image row goes to the panel as a JSON line (base64 pixels) and
+        finished images land in shared storage (reference SstvParser /
+        FaxParser flow, owrx/sstv.py:65, owrx/fax.py)."""
+        import base64
+        import json as _json
+
+        lines: list[str] = []
+
+        def emit(msg: dict):
+            lines.append(_json.dumps(msg) + "\n")
+
+        if self.mode == "sstv":
+            from openwebrx_tpu.services.sstv import SstvDecoder
+
+            sstv_mode = "martin_m1"
+            state = {"decoder": None, "line": 0}
+
+            def on_row(row):
+                n = state["line"]
+                state["line"] += 1
+                emit({"mode": "SSTV", "sstv_mode": sstv_mode,
+                      "width": int(row.shape[0]), "line": n,
+                      "pixels": base64.b64encode(
+                          np.asarray(row, np.uint8).tobytes()).decode()})
+                if state["line"] >= 256:          # Martin/Scottie frame height
+                    self._save_image(state["decoder"].image(), "sstv", emit)
+                    state["decoder"] = SstvDecoder(sstv_mode, on_row=on_row)
+                    state["line"] = 0
+
+            state["decoder"] = SstvDecoder(sstv_mode, on_row=on_row)
+
+            def decode(y):
+                state["decoder"].feed(np.asarray(y))
+                out = "".join(lines)
+                lines.clear()
+                return out
+            return decode
+
+        from openwebrx_tpu.services.fax import FaxDecoder
+
+        fax_state = {"line": 0}
+
+        def on_fax_row(row):
+            n = fax_state["line"]
+            fax_state["line"] += 1
+            # fax lines are wide (≈1500 px at 120 lpm); subsample 4× for the
+            # wire, the canvas stretches horizontally
+            sub = np.asarray(row, np.uint8)[::4]
+            emit({"mode": "Fax", "width": int(sub.shape[0]), "line": n,
+                  "pixels": base64.b64encode(sub.tobytes()).decode()})
+
+        def on_fax_complete(path):
+            fax_state["line"] = 0
+            emit({"mode": "Fax", "complete": True,
+                  "filename": os.path.basename(path)})
+
+        from openwebrx_tpu.core.storage import Storage
+        fax = FaxDecoder(on_row=on_fax_row, on_complete=on_fax_complete,
+                         tmp_dir=Storage.shared().directory)
+
+        def decode_fax(y):
+            fax.feed(np.asarray(y))
+            out = "".join(lines)
+            lines.clear()
+            return out
+        return decode_fax
+
+    def _save_image(self, img, prefix: str, emit):
+        """Store a finished RGB/grey image as PNG (PGM/PPM fallback) in the
+        shared file store and announce it (reference Storage.convert flow,
+        owrx/storage.py:118-141)."""
+        if img is None:
+            return
+        from openwebrx_tpu.core.storage import Storage
+        from openwebrx_tpu.services.fax import convert_to_png
+
+        img = np.asarray(img, np.uint8)
+        store = Storage.shared()
+        color = img.ndim == 3
+        raw = store.new_file(f"{prefix.upper()}-image.{'ppm' if color else 'pgm'}")
+        with open(raw, "wb") as f:
+            magic = "P6" if color else "P5"
+            f.write(f"{magic}\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
+            f.write(img.tobytes())
+        png = convert_to_png(raw)
+        emit({"mode": prefix.upper(), "complete": True,
+              "filename": os.path.basename(png or raw)})
 
     def set_offset(self, offset_hz: float):
         self.chain.set_frequency_offset(offset_hz)

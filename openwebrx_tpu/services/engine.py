@@ -27,6 +27,11 @@ logger = logging.getLogger(__name__)
 
 CHOPPER_MODES = set(WSJT_PROFILES) | set(JS8_PROFILES)
 
+# modes decoded fully natively by a SecondaryHandle chain (reference
+# ServiceOnlyMode entries NAVTEX/DSC/SSTV/Fax, owrx/modes.py)
+NATIVE_SECONDARY_SERVICES = {"navtex", "dsc", "sstv", "fax",
+                             "sitorb", "cwskimmer"}
+
 
 class ServiceHandler(SdrSourceEventClient):
     """Runs background decoders on one device (reference ServiceHandler)."""
@@ -56,7 +61,8 @@ class ServiceHandler(SdrSourceEventClient):
         self.stop_services()
         config = Config.get()
         from openwebrx_tpu.services.exec_modes import EXEC_MODES, IQ_EXEC_MODES
-        supported = CHOPPER_MODES | set(EXEC_MODES) | set(IQ_EXEC_MODES)
+        supported = (CHOPPER_MODES | set(EXEC_MODES) | set(IQ_EXEC_MODES)
+                     | NATIVE_SECONDARY_SERVICES)
         enabled = [d for d in config.get("services_decoders", [])
                    if d in supported]
         if not enabled:
@@ -113,6 +119,12 @@ class ServiceHandler(SdrSourceEventClient):
             handle.audio_cb = lambda wire, hd=False, s=svc: s.feed(wire)
             self.services.append({"mode": mode, "dial": dial_freq,
                                   "handle": handle, "exec": svc})
+        elif mode in NATIVE_SECONDARY_SERVICES:
+            handle = self.runtime.open_secondary(mode, offset)
+            handle.text_cb = (lambda text, m=mode, f=dial_freq:
+                              self._on_secondary_text(text, m, f))
+            self.services.append({"mode": mode, "dial": dial_freq,
+                                  "handle": handle})
         elif mode in IQ_EXEC_MODES:
             spec = IQ_EXEC_MODES[mode]
             handle = self.runtime.open_iq_channel(spec["if_rate"], offset,
@@ -124,6 +136,29 @@ class ServiceHandler(SdrSourceEventClient):
             handle.iq_cb = pipeline.feed
             self.services.append({"mode": mode, "dial": dial_freq,
                                   "handle": handle, "pipeline": pipeline})
+
+    def _on_secondary_text(self, text: str, mode: str, dial_freq: float):
+        """Native secondary decoders: NAVTEX/DSC emit JSON event lines
+        (counted, logged); SSTV/FAX row lines are skipped here — finished
+        images land in shared storage by the decoder itself."""
+        import json as _json
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("{"):
+                try:
+                    event = _json.loads(line)
+                except _json.JSONDecodeError:
+                    continue
+                if "pixels" in event:
+                    continue            # image row: panel-only payload
+                self._on_event(event, dial_freq)
+                if event.get("complete"):
+                    logger.info("%s service @%d: saved %s", mode,
+                                int(dial_freq), event.get("filename"))
+            else:
+                Metrics.shared().counter(f"services.events.{mode}").inc()
 
     def _on_event(self, event: dict, dial_freq: float):
         """Non-spot service events (pages, ISM sensors, aircraft) — counted

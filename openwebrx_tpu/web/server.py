@@ -90,6 +90,8 @@ SIGNAL_DEMO_CONFIG = {
         {"kind": "nfm", "offset_hz": -350000.0, "f_audio": 440.0, "amplitude": 0.3},
         {"kind": "am", "offset_hz": -200000.0, "f_audio": 800.0, "amplitude": 0.3},
         {"kind": "usb", "offset_hz": 300000.0, "f_audio": 1500.0, "amplitude": 0.2},
+        {"kind": "packet", "offset_hz": 250000.0, "amplitude": 0.4,
+         "source": "W1AW-1", "info": "!4903.50N/07201.75W-demo beacon"},
     ],
     "profiles": {
         "default": {"name": "Demo", "center_freq": 145000000,
