@@ -97,6 +97,9 @@ def _d(mod, name, underlying, lo=None, hi=None, **kw):
 
 
 def _wsjt(mod, name, interval, lo=300, hi=3000, **kw):
+    # gated on the wsjt-x decoders like the reference WsjtMode
+    # (owrx/modes.py: requirements=["wsjt-x"])
+    kw.setdefault("requirements", ["wsjt-x"])
     return AudioChopperMode(mod, name, bandpass=Bandpass(lo, hi),
                             underlying=["usb"], service=True,
                             interval=interval, **kw)

@@ -120,3 +120,51 @@ class AudioChopper:
                 self._current.close()
                 self._current.unlink()
                 self._current = None
+
+
+class ChopperSecondary:
+    """Interactive WSJT/JS8 listener: the client's dial gets a raw-audio
+    service slot whose 12 kHz stream is chopped into interval WAVs and
+    decoded through the shared queue; parsed spots go to on_spot (the
+    connection forwards them to the panel and to map/reporting).
+
+    Reference: AudioChopperDemodulator as a secondary demodulator
+    (csdr/chain/digimodes.py:15, owrx/dsp.py:682-797).
+    """
+
+    def __init__(self, device, mode: str, offset_hz: float, on_spot,
+                 tmp_dir: str | None = None):
+        from openwebrx_tpu.core.config import CoreConfig
+        from openwebrx_tpu.services.wsjt import enabled_profiles
+
+        profiles = enabled_profiles(mode)
+        if not profiles:
+            raise KeyError(f"no decoder profiles for {mode}")
+        self.device = device
+        self.mode = mode
+        self._center = device.source.get_center_freq()
+        tmp = tmp_dir or CoreConfig.defaults["temporary_directory"]
+        groups: dict[float, list] = {}
+        for p in profiles:
+            groups.setdefault(p.interval, []).append(p)
+        self.choppers = [
+            AudioChopper(group, int(self._center + offset_hz), tmp, on_spot)
+            for group in groups.values()
+        ]
+        self.handle = device.open_channel("usb", offset_hz, service=True)
+        self.handle.audio_cb = lambda wire, hd=False: [
+            c.write(wire) for c in self.choppers]
+
+    def set_offset(self, offset_hz: float):
+        self.handle.set_offset(offset_hz)
+        dial = int(self._center + offset_hz)
+        for chopper in self.choppers:
+            chopper.dial_freq = dial
+
+    def set_carrier(self, carrier_hz: float):
+        pass                     # decoders scan the whole audio passband
+
+    def close(self):
+        self.handle.close()
+        for chopper in self.choppers:
+            chopper.close()

@@ -33,6 +33,27 @@ NATIVE_SECONDARY_SERVICES = {"navtex", "dsc", "sstv", "fax",
                              "sitorb", "cwskimmer"}
 
 
+def report_spot(spot: dict, mode: str, dial_freq: float):
+    """Per-band decode metric, map location/call lines, reporting sinks —
+    shared by background services and interactive chopper listeners
+    (reference WsjtParser push, owrx/wsjt.py:297-305)."""
+    band = Bandplan.shared().find_band(dial_freq)
+    band_name = band.get_name() if band else "unknown"
+    Metrics.shared().counter(
+        f"wsjt.decodes.{band_name}.{spot.get('mode', mode)}").inc()
+    if "callsign" in spot and "locator" in spot:
+        try:
+            Map.shared().update_location(
+                spot["callsign"], LocatorLocation(spot["locator"]),
+                spot.get("mode", mode), band_name)
+        except ValueError:
+            pass
+        ReportingEngine.shared().spot(spot)
+    if "callsign" in spot and "callee" in spot:
+        Map.shared().update_call(spot["callsign"], spot["callee"],
+                                 spot.get("mode", mode), band_name)
+
+
 class ServiceHandler(SdrSourceEventClient):
     """Runs background decoders on one device (reference ServiceHandler)."""
 
@@ -173,20 +194,7 @@ class ServiceHandler(SdrSourceEventClient):
                 event.get("mode", "AIR"))
 
     def _on_spot(self, spot: dict, mode: str, dial_freq: float):
-        band = Bandplan.shared().find_band(dial_freq)
-        band_name = band.get_name() if band else "unknown"
-        Metrics.shared().counter(f"wsjt.decodes.{band_name}.{spot.get('mode', mode)}").inc()
-        if "callsign" in spot and "locator" in spot:
-            try:
-                Map.shared().update_location(
-                    spot["callsign"], LocatorLocation(spot["locator"]),
-                    spot.get("mode", mode), band_name)
-            except ValueError:
-                pass
-            ReportingEngine.shared().spot(spot)
-        if "callsign" in spot and "callee" in spot:
-            Map.shared().update_call(spot["callsign"], spot["callee"],
-                                     spot.get("mode", mode), band_name)
+        report_spot(spot, mode, dial_freq)
 
     def stop_services(self):
         with self._lock:

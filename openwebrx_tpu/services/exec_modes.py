@@ -205,6 +205,28 @@ EXEC_MODES = {
         "parser": lambda svc: SelCallParser(svc.on_event).parse,
         "native": _native_selcall,
     },
+    # ZVEI variants only (reference ZveiDemodulator, toolbox.py:112)
+    "zvei": {
+        "underlying": "nfm",
+        "requirement": "selcall",
+        "command": lambda: ["multimon-ng", "-a", "ZVEI1", "-a", "ZVEI2",
+                            "-a", "ZVEI3", "-a", "DZVEI", "-a", "PZVEI",
+                            "-t", "raw", "-"],
+        "parser": lambda svc: SelCallParser(svc.on_event).parse,
+        "native": _native_selcall,
+    },
+    # AIS via direwolf's 9600 GMSK modem (reference PacketDemodulator with
+    # ais=True, csdr/chain/digimodes.py:46-51); no native path — the
+    # Bell-202 AFSK demod does not apply to AIS
+    "ais": {
+        "underlying": "nfm",
+        "requirement": "packet",
+        "command": lambda: ["direwolf", "-c", "/dev/null", "-r", str(AUDIO_RATE),
+                            "-B", "AIS", "-t", "0", "-q", "hd", "-a", "0",
+                            "-k", "-"],
+        "parser": PacketEventAdapter,
+        "line_based": False,
+    },
     "eas": {
         "underlying": "nfm",
         "requirement": "eas",
@@ -270,6 +292,14 @@ def _acars_parser(svc):
 IQ_EXEC_MODES = {
     "ism": {
         "if_rate": 250000, "wire": "cs16", "requirement": "ism",
+        "command": lambda rate, dial: ["rtl_433", "-F", "json",
+                                       "-r", f"cs16:-:{int(rate)}"],
+        "parser": "ism",
+    },
+    # WMBus wants 1.2 MS/s, too high for the other ISM protocols
+    # (reference owrx/dsp.py:762-765)
+    "wmbus": {
+        "if_rate": 1200000, "wire": "cs16", "requirement": "ism",
         "command": lambda rate, dial: ["rtl_433", "-F", "json",
                                        "-r", f"cs16:-:{int(rate)}"],
         "parser": "ism",

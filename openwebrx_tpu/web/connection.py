@@ -226,7 +226,10 @@ class ReceiverConnection:
             self.handle.close()
             self.handle = None
         if self.secondary is not None and self.device is not None:
-            self.device.release_secondary(self.secondary)
+            if hasattr(self.secondary, "close"):
+                self.secondary.close()
+            else:
+                self.device.release_secondary(self.secondary)
             self.secondary = None
         if getattr(self, "exec_audio", None) is not None:
             self.exec_audio.close()
@@ -238,6 +241,12 @@ class ReceiverConnection:
             self.exec_mode[0].close()
             self.exec_mode[1].close()
             self.exec_mode = None
+        if getattr(self, "iq_exec", None) is not None:
+            handle, pipeline = self.iq_exec
+            if self.device is not None:
+                self.device.release_secondary(handle)
+            pipeline.close()
+            self.iq_exec = None
         self.device = None if not self.closed else self.device
 
     # --------------------------------------------------------- dsp wires --
@@ -322,7 +331,9 @@ class ReceiverConnection:
             from openwebrx_tpu.models.digital_voice import DV_FACTORY
             from openwebrx_tpu.models.secondary import SECONDARY_FACTORY
             from openwebrx_tpu.runtime.device import ExecAudioHandle
-            from openwebrx_tpu.services.exec_modes import EXEC_MODES
+            from openwebrx_tpu.services.exec_modes import (
+                EXEC_MODES, IQ_EXEC_MODES,
+            )
             if mod in SECONDARY_FACTORY:
                 self._clear_attachments()
                 self._set_secondary(mod)
@@ -335,6 +346,9 @@ class ReceiverConnection:
             elif mod in EXEC_MODES:
                 self._clear_attachments()
                 self._set_exec_mode(mod)
+            elif mod in IQ_EXEC_MODES:
+                self._clear_attachments()
+                self._set_iq_exec(mod)
             else:
                 self._clear_attachments()
                 try:
@@ -356,6 +370,8 @@ class ReceiverConnection:
                 self.digital_voice.set_offset(self._offset)
             if getattr(self, "exec_mode", None) is not None:
                 self.exec_mode[1].set_offset(self._offset)
+            if getattr(self, "iq_exec", None) is not None:
+                self.iq_exec[0].set_offset(self._offset)
         if "secondary_offset_freq" in params and self.secondary is not None:
             self.secondary.set_carrier(float(params["secondary_offset_freq"]))
         if "squelch_level" in params:
@@ -370,13 +386,50 @@ class ReceiverConnection:
             self.handle.set_nr(self._nr_threshold if self._nr_enabled else -100.0)
 
     def _clear_attachments(self):
-        """Drop every mode attachment (secondary/exec-audio/DV/exec-mode)
-        before switching (reference: chain surgery tears the old demod
-        down first, owrx/dsp.py:654-680)."""
+        """Drop every mode attachment (secondary/exec-audio/DV/exec-mode/
+        IQ-exec) before switching (reference: chain surgery tears the old
+        demod down first, owrx/dsp.py:654-680)."""
         self._set_secondary(None)
         self._set_exec_audio(None)
         self._set_digital_voice(None)
         self._set_exec_mode(None)
+        self._set_iq_exec(None)
+
+    def _set_iq_exec(self, mode: str | None):
+        """Attach/detach an IQ-consuming external decoder (ISM/WMBus/HFDL/
+        VDL2/ADSB): complex-IF service tap → binary's stdin; JSON events
+        stream to the panel (reference IsmDemodulator / aircraft chains,
+        csdr/chain/toolbox.py:14, csdr/chain/aircraft.py:14-103)."""
+        if getattr(self, "iq_exec", None) is not None:
+            handle, pipeline = self.iq_exec
+            handle.close() if hasattr(handle, "close") else \
+                self.device.release_secondary(handle)
+            pipeline.close()
+            self.iq_exec = None
+            if self.handle is not None:
+                self.handle.audio_cb = self._on_audio
+        if mode is None or self.device is None:
+            return
+        from openwebrx_tpu.services.exec_modes import (
+            IQ_EXEC_MODES, make_iq_parser, mode_available,
+        )
+        from openwebrx_tpu.services.pipeline import SubprocessPipeline
+        if not mode_available(mode):
+            self.send_json({"type": "demodulator_error",
+                            "value": f"{mode}: decoder not available"})
+            return
+        if self.handle is not None:
+            self.handle.audio_cb = None      # IQ modes render no bank audio
+        spec = IQ_EXEC_MODES[mode]
+        dial = (self.device.source.get_center_freq() + self._offset)
+        handle = self.device.open_iq_channel(spec["if_rate"], self._offset,
+                                             spec["wire"])
+        parser = make_iq_parser(spec["parser"], lambda ev: self.send_json(
+            {"type": "secondary_demod", "value": json.dumps(ev) + "\n"}))
+        pipeline = SubprocessPipeline(
+            spec["command"](spec["if_rate"], dial), parser)
+        handle.iq_cb = pipeline.feed
+        self.iq_exec = (handle, pipeline)
 
     def _set_exec_mode(self, mode: str | None):
         """Attach/detach a text-decode listener mode (packet/page/selcall/
@@ -472,9 +525,16 @@ class ReceiverConnection:
         owrx/dsp.py:682-797; down-messages secondary_config /
         secondary_demod)."""
         if self.secondary is not None:
-            self.device.release_secondary(self.secondary)
+            if hasattr(self.secondary, "close"):
+                self.secondary.close()       # interactive chopper listener
+            else:
+                self.device.release_secondary(self.secondary)
             self.secondary = None
         if mode is None or self.device is None:
+            return
+        from openwebrx_tpu.services.engine import CHOPPER_MODES
+        if mode in CHOPPER_MODES:
+            self._set_chopper_secondary(mode)
             return
         try:
             self.secondary = self.device.open_secondary(mode, self._offset)
@@ -489,6 +549,43 @@ class ReceiverConnection:
             "secondary_fft_size": int(Config.get().get("digimodes_fft_size", 2048)),
             "if_samp_rate": 24000 if mode == "cwskimmer" else 12000,
             "secondary_bw": 31.25 if mode.startswith("bpsk") else 170,
+        }})
+
+    def _set_chopper_secondary(self, mode: str):
+        """Interactive FT8/FT4/…/JS8: interval chopper + decoder queue on
+        the client's dial; spots go to the panel AND map/reporting
+        (reference AudioChopperDemodulator + WsjtParser push)."""
+        import shutil as _shutil
+
+        from openwebrx_tpu.services.chopper import ChopperSecondary
+        from openwebrx_tpu.services.engine import report_spot
+        from openwebrx_tpu.services.wsjt import enabled_profiles
+
+        profiles = enabled_profiles(mode)
+        binary = profiles[0].decoder_commandline("x")[0] if profiles else "jt9"
+        if _shutil.which(binary) is None:
+            self.send_json({"type": "demodulator_error",
+                            "value": f"{mode}: decoder '{binary}' not installed"})
+            return
+
+        def on_spot(spot: dict):
+            self.send_json({"type": "secondary_demod",
+                            "value": json.dumps(spot) + "\n"})
+            dial = (self.device.source.get_center_freq()
+                    if self.device is not None else 0) + self._offset
+            report_spot(spot, mode, dial)
+
+        try:
+            self.secondary = ChopperSecondary(self.device, mode,
+                                              self._offset, on_spot)
+        except KeyError:
+            self.send_json({"type": "demodulator_error",
+                            "value": f"secondary mode {mode} not supported yet"})
+            return
+        self.send_json({"type": "secondary_config", "value": {
+            "secondary_fft_size": int(Config.get().get("digimodes_fft_size", 2048)),
+            "if_samp_rate": 12000,
+            "secondary_bw": 2700,
         }})
 
     def select_profile(self, sdr_id: str, profile_id: str):

@@ -355,3 +355,179 @@ class TestPacketModeOverProtocol:
             await server.stop()
             SdrService.stop_all()
             Config.reset()
+
+
+class TestInteractiveFt8:
+    """Interactive chopper listener: secondary_mod=ft8 attaches an interval
+    chopper on the client's dial; decoder-queue spots stream to the panel
+    as JSON and reach the map (reference AudioChopperDemodulator)."""
+
+    def test_ft8_spots_over_protocol(self, tmp_path, monkeypatch):
+        import stat
+
+        script = tmp_path / "fake_jt9"
+        script.write_text(
+            "#!/bin/sh\n"
+            "echo '222100 -15 -0.0  508 ~  CQ EA7MJ IM66'\n"
+            "echo '<DecodeFinished>  0  1'\n")
+        script.chmod(script.stat().st_mode | stat.S_IEXEC)
+
+        from openwebrx_tpu.services import wsjt as wsjt_mod
+        from openwebrx_tpu.services.wsjt import Ft8Profile
+
+        class FastProfile(Ft8Profile):
+            interval = 1
+
+            def decoder_commandline(self, file):
+                return [str(script), file]
+
+        monkeypatch.setattr(wsjt_mod, "enabled_profiles",
+                            lambda mode: [FastProfile()] if mode == "ft8" else [])
+        asyncio.run(self._session())
+
+    async def _session(self):
+        from openwebrx_tpu.core.map import Map
+        from openwebrx_tpu.sdr import SdrService
+        from openwebrx_tpu.services.queue import DecoderQueue
+        from openwebrx_tpu.web.server import build_router
+        from openwebrx_tpu.web.http import HttpServer
+
+        Config.reset()
+        cfg = Config.get()
+        cfg["sdrs"] = {
+            "demo": {
+                "name": "FT8 Demo", "type": "signal",
+                "samp_rate": 240000, "center_freq": 14074000,
+                "throttle": False, "noise": 1e-4,
+                "signals": [
+                    {"kind": "usb", "offset_hz": 0.0, "f_audio": 800.0,
+                     "amplitude": 0.3},
+                ],
+                "profiles": {
+                    "default": {"name": "Demo", "center_freq": 14074000,
+                                "samp_rate": 240000, "start_freq": 14074000,
+                                "start_mod": "usb"},
+                },
+            }
+        }
+        DecoderQueue.reset()
+        SdrService.load()
+        server = HttpServer(build_router(), port=0, host="127.0.0.1")
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        try:
+            client = await WsTestClient.connect(port)
+            await client.receive()
+            await client.send_text("SERVER DE CLIENT client=test type=receiver")
+            await client.expect_json("config")
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol", "action": "start"}))
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol",
+                 "params": {"mod": "usb", "secondary_mod": "ft8",
+                            "offset_freq": 0}}))
+            await client.expect_json("secondary_config", timeout=30)
+            text = ""
+            async def gather():
+                nonlocal text
+                while "EA7MJ" not in text:
+                    msg = await client.expect_json("secondary_demod",
+                                                   timeout=60)
+                    text += msg["value"]
+            await asyncio.wait_for(gather(), 90)
+            spot = json.loads([l for l in text.splitlines()
+                               if "EA7MJ" in l][0])
+            assert spot["callsign"] == "EA7MJ"
+            assert spot["locator"] == "IM66"
+            assert spot["mode"] == "FT8"
+            assert spot["freq"] == 14074508
+            # the spot also lands on the shared map (report_spot runs in
+            # the decoder-queue worker right after the panel push — poll)
+            for _ in range(100):
+                if "EA7MJ" in Map.shared().positions:
+                    break
+                await asyncio.sleep(0.05)
+            assert "EA7MJ" in Map.shared().positions
+            # detach cleanly
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol", "params": {"secondary_mod": ""}}))
+            await client.close()
+        finally:
+            await server.stop()
+            SdrService.stop_all()
+            DecoderQueue.reset()
+            Config.reset()
+
+
+class TestInteractiveIqExec:
+    """Interactive IQ-exec mode (ISM): complex-IF tap feeds the external
+    decoder's stdin; its JSON events stream to the panel."""
+
+    def test_ism_events_over_protocol(self, tmp_path, monkeypatch):
+        import stat
+
+        script = tmp_path / "fake_rtl433"
+        script.write_text(
+            "#!/bin/sh\n"
+            "head -c 4096 > /dev/null\n"           # consume some IQ
+            'echo \'{"model":"Acurite-Tower","id":1234,"temperature_C":21.5}\'\n'
+            "cat > /dev/null\n")
+        script.chmod(script.stat().st_mode | stat.S_IEXEC)
+
+        from openwebrx_tpu.services import exec_modes
+        spec = dict(exec_modes.IQ_EXEC_MODES["ism"])
+        spec["command"] = lambda rate, dial: [str(script)]
+        monkeypatch.setitem(exec_modes.IQ_EXEC_MODES, "ism", spec)
+        asyncio.run(self._session())
+
+    async def _session(self):
+        from openwebrx_tpu.sdr import SdrService
+        from openwebrx_tpu.web.server import build_router
+        from openwebrx_tpu.web.http import HttpServer
+
+        Config.reset()
+        cfg = Config.get()
+        cfg["sdrs"] = {
+            "demo": {
+                "name": "ISM Demo", "type": "signal",
+                "samp_rate": 1200000, "center_freq": 433920000,
+                "throttle": False, "noise": 1e-3,
+                "signals": [],
+                "profiles": {
+                    "default": {"name": "Demo", "center_freq": 433920000,
+                                "samp_rate": 1200000,
+                                "start_freq": 433920000,
+                                "start_mod": "nfm"},
+                },
+            }
+        }
+        SdrService.load()
+        server = HttpServer(build_router(), port=0, host="127.0.0.1")
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        try:
+            client = await WsTestClient.connect(port)
+            await client.receive()
+            await client.send_text("SERVER DE CLIENT client=test type=receiver")
+            await client.expect_json("config")
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol", "action": "start"}))
+            await client.send_text(json.dumps(
+                {"type": "dspcontrol",
+                 "params": {"offset_freq": 0, "mod": "ism"}}))
+            text = ""
+            async def gather():
+                nonlocal text
+                while "Acurite" not in text:
+                    msg = await client.expect_json("secondary_demod",
+                                                   timeout=60)
+                    text += msg["value"]
+            await asyncio.wait_for(gather(), 90)
+            ev = json.loads([l for l in text.splitlines()
+                             if "Acurite" in l][0])
+            assert ev["mode"] == "ISM"
+            await client.close()
+        finally:
+            await server.stop()
+            SdrService.stop_all()
+            Config.reset()
