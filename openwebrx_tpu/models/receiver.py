@@ -24,6 +24,7 @@ DEMOD_FACTORY = {
     "usb": lambda: Ssb(),
     "cw": lambda: Ssb(),
     "rawam": lambda: RawAm(),
+    "rawsam": lambda: SAm(),
     "usbd": lambda: Ssb(),
 }
 
@@ -37,6 +38,7 @@ MODE_BANDPASS = {
     "usb": (300, 3000),
     "cw": (400, 900),
     "rawam": (-10000, 10000),
+    "rawsam": (-10000, 10000),
     "usbd": (300, 12000),
 }
 

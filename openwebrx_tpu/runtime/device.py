@@ -37,6 +37,9 @@ BANK_BUCKET = {
     "nfm": "nfm", "am": "am", "sam": "sam", "wfm": "wfm",
     "lsb": "ssb", "usb": "ssb", "cw": "ssb",
     "rawam": "rawam", "usbd": "usbd",
+    # raw synchronous AM shares the SAm chain; its wide ±10 kHz bandpass is
+    # per-channel state (reference RawSAm, csdr/chain/analog.py:137-170)
+    "rawsam": "sam",
 }
 BUCKET_CHAIN_MODE = {"nfm": "nfm", "am": "am", "sam": "sam", "wfm": "wfm",
                      "ssb": "usb", "rawam": "rawam", "usbd": "usbd"}
