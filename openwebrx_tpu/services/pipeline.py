@@ -14,10 +14,47 @@ from __future__ import annotations
 
 import json
 import logging
+import os
+import select
 import subprocess
 import threading
 
 logger = logging.getLogger(__name__)
+
+
+def _iter_chunks(fd: int):
+    """Yield chunks from *fd* as soon as they arrive, until EOF.
+
+    Uses a non-blocking fd + select so a partial line is delivered the
+    moment the child flushes it: some environments (sandboxed pipes) do
+    not return partial data from large blocking read() calls, which
+    stalls buffered line iteration until 8 KiB accumulate.
+    """
+    os.set_blocking(fd, False)
+    poller = select.poll()
+    poller.register(fd, select.POLLIN | select.POLLHUP)
+    while True:
+        poller.poll()
+        try:
+            chunk = os.read(fd, 65536)
+        except BlockingIOError:
+            continue
+        except (OSError, ValueError):
+            return
+        if not chunk:
+            return
+        yield chunk
+
+
+def _iter_lines(fd: int):
+    buf = b""
+    for chunk in _iter_chunks(fd):
+        buf += chunk
+        while b"\n" in buf:
+            line, buf = buf.split(b"\n", 1)
+            yield line
+    if buf:
+        yield buf
 
 
 class SubprocessPipeline:
@@ -71,26 +108,25 @@ class SubprocessPipeline:
             self._reader.start()
 
     def _drain_meta(self):
-        import os
         rfd = self._meta_read_fd
         try:
-            with os.fdopen(rfd, "rb") as f:
-                for line in f:
-                    self.on_meta_line(line.rstrip(b"\n"))
-        except (OSError, ValueError):
-            pass
+            for line in _iter_lines(rfd):
+                self.on_meta_line(line.rstrip(b"\r"))
+        finally:
+            try:
+                os.close(rfd)
+            except OSError:
+                pass
 
     def _drain(self):
         proc = self._proc
         try:
+            fd = proc.stdout.fileno()
             if self.line_based:
-                for line in proc.stdout:
-                    self.on_line(line.rstrip(b"\n"))
+                for line in _iter_lines(fd):
+                    self.on_line(line.rstrip(b"\r"))
             else:
-                while True:
-                    chunk = proc.stdout.read(4096)
-                    if not chunk:
-                        break
+                for chunk in _iter_chunks(fd):
                     self.on_line(chunk)
         except (OSError, ValueError):
             pass
