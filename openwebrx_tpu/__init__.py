@@ -21,3 +21,33 @@ tildearrow/openwebrx) designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def _configure_compilation_cache():
+    """Persist XLA compilations across server restarts.
+
+    The bank/waterfall programs take tens of seconds to compile on a TPU;
+    the reference's csdr chains start instantly, so first-audio latency
+    after a restart is a real UX regression without this.  Opt out with
+    OPENWEBRX_JAX_CACHE=0; relocate with OPENWEBRX_JAX_CACHE=<dir>.
+    """
+    import os
+
+    cache = os.environ.get("OPENWEBRX_JAX_CACHE", "")
+    if cache == "0":
+        return
+    if not cache:
+        cache = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")),
+            "openwebrx_tpu", "jax")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never fatal
+        pass
+
+
+_configure_compilation_cache()
