@@ -221,24 +221,50 @@ class Program:
             _PROGRAM_CACHE[key] = step
         self._step = step
 
-    def process(self, x):
-        """One block: host (or device) array in → (y, aux) out.  Complex
-        outputs come back as np complex64 (fetched); real outputs stay
-        device arrays."""
+    def pack_input(self, x):
+        """Host complex block → packed (block, 2) float32, validated.  The
+        result can be jax.device_put once and shared by every program of the
+        device (one tunnel transfer per block instead of one per program)."""
+        if self._in_complex:
+            if getattr(x, "ndim", 0) >= 2 and x.shape[-1] == 2 \
+                    and x.shape[-2] == self.block:
+                return x  # already packed
+            if x.shape[-1] != self.block:
+                raise ValueError(
+                    f"Program expects blocks of {self.block} samples, got "
+                    f"{x.shape[-1]} (shapes are static under jit — feed "
+                    f"exactly Program.block samples per call)")
+            return host_pack_complex(np.asarray(x))
         if x.shape[-1] != self.block:
             raise ValueError(
                 f"Program expects blocks of {self.block} samples, got "
                 f"{x.shape[-1]} (shapes are static under jit — feed exactly "
                 f"Program.block samples per call)")
-        if self._in_complex:
-            x = host_pack_complex(np.asarray(x))
-        self.state, yp, auxp = self._step(self.state, self.chain.params(), x)
+        return x
+
+    def dispatch(self, x):
+        """Dispatch one block WITHOUT fetching: returns packed device trees
+        (yp, auxp) whose values are in-flight device arrays.  Dispatch every
+        program of a device first, then fetch() — JAX's async dispatch then
+        overlaps the device work and transfers instead of serializing a
+        round trip per program."""
+        self.state, yp, auxp = self._step(self.state, self.chain.params(),
+                                          self.pack_input(x))
+        return yp, auxp
+
+    def fetch(self, yp, auxp):
+        """Unpack a dispatch() result: complex outputs come back as np
+        complex64 (fetched); real outputs stay device arrays."""
         y = jax.tree.map(
             lambda v, c: host_unpack_complex(v) if c else v, yp, self._y_mask)
         aux = jax.tree.map(
             lambda v, c: host_unpack_complex(v) if c else v, auxp,
             self._aux_mask)
         return y, aux
+
+    def process(self, x):
+        """One block: host (or device) array in → (y, aux) out."""
+        return self.fetch(*self.dispatch(x))
 
     def rebuild(self, keep_state: bool = True):
         """Re-plan after graph surgery, carrying over state of stages whose

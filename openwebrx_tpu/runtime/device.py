@@ -669,17 +669,46 @@ class DeviceRuntime:
             ema_ms = dt * 1e3 if ema_ms is None else ema_ms * 0.9 + dt * 1e3 * 0.1
             m_blocks.inc()
             m_proc.set(round(ema_ms, 3))
-            if dt > 0:
-                m_rate.set(round(len(block) / dt))
+            if ema_ms > 0:
+                # smoothed so a single idle (no-subscriber) block doesn't
+                # report a fantasy realtime factor
+                m_rate.set(round(len(block) / (ema_ms / 1e3)))
                 if rate:
-                    m_rt.set(round(len(block) / dt / rate, 2))
+                    m_rt.set(round(len(block) / (ema_ms / 1e3) / rate, 2))
 
     def _process_block(self, block: np.ndarray):
+        import jax
+        from openwebrx_tpu.runtime.chain import host_pack_complex
+
+        with self._lock:
+            banks = {k: b for k, b in self.banks.items() if b.n_active}
+            handles = list(self.handles)
+            secondaries = list(self.secondary_handles)
+
+        # ONE host→device transfer of the IQ block, shared by the waterfall
+        # program and every bank (the tunnel transfer dominates per-program
+        # compute at interactive rates)
+        want_fft = bool(self.waterfall_subscribers)
+        if want_fft or banks:
+            xdev = jax.device_put(host_pack_complex(np.ascontiguousarray(block)))
+        # dispatch everything BEFORE fetching anything: JAX async dispatch
+        # overlaps the programs' device work and result transfers
+        fft_pending = self.fft_program.dispatch(xdev) if want_fft else None
+        bank_pending = {bucket: bank.program.dispatch(xdev)
+                        for bucket, bank in banks.items()}
+        # secondaries fetch internally; they run while the banks are in
+        # flight (and only on their own block cadence)
+        for sec in secondaries:
+            try:
+                sec.feed(block)
+            except Exception:
+                logger.exception("secondary %s failed", sec.mode)
+
         # waterfall (shared per device, reference owrx/fft.py); rows are
         # compressed ONCE for all subscribers (reference: FftAdpcm inside
         # the shared FftChain)
-        if self.waterfall_subscribers:
-            rows, _ = self.fft_program.process(block)
+        if fft_pending is not None:
+            rows, _ = self.fft_program.fetch(*fft_pending)
             rows_np = np.asarray(rows)
             if self.fft_compression == "adpcm":
                 from openwebrx_tpu.ops.adpcm import compress_fft_rows
@@ -689,19 +718,9 @@ class DeviceRuntime:
             for cb in list(self.waterfall_subscribers):
                 for payload in payloads:
                     cb(payload)
-        # demod banks
-        with self._lock:
-            banks = {k: b for k, b in self.banks.items() if b.n_active}
-            handles = list(self.handles)
-            secondaries = list(self.secondary_handles)
-        for sec in secondaries:
-            try:
-                sec.feed(block)
-            except Exception:
-                logger.exception("secondary %s failed", sec.mode)
         outputs = {}
         for bucket, bank in banks.items():
-            y, aux = bank.process(block)
+            y, aux = bank.program.fetch(*bank_pending[bucket])
             # ONE device→host transfer per bank (whole arrays), then numpy
             # slicing per handle — per-slot eager jax indexing from this
             # thread can wedge against the in-flight donated computation
