@@ -227,8 +227,9 @@ class Program:
         device (one tunnel transfer per block instead of one per program)."""
         if self._in_complex:
             if getattr(x, "ndim", 0) >= 2 and x.shape[-1] == 2 \
-                    and x.shape[-2] == self.block:
-                return x  # already packed
+                    and x.shape[-2] == self.block \
+                    and getattr(x, "dtype", None) == np.float32:
+                return x  # already packed (float32 (..., block, 2) pairs)
             if x.shape[-1] != self.block:
                 raise ValueError(
                     f"Program expects blocks of {self.block} samples, got "

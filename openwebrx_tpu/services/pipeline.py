@@ -31,19 +31,27 @@ def _iter_chunks(fd: int):
     stalls buffered line iteration until 8 KiB accumulate.
     """
     os.set_blocking(fd, False)
-    poller = select.poll()
-    poller.register(fd, select.POLLIN | select.POLLHUP)
-    while True:
-        poller.poll()
+    try:
+        poller = select.poll()
+        poller.register(fd, select.POLLIN | select.POLLHUP)
+        while True:
+            poller.poll()
+            try:
+                chunk = os.read(fd, 65536)
+            except BlockingIOError:
+                continue
+            except (OSError, ValueError):
+                return
+            if not chunk:
+                return
+            yield chunk
+    finally:
+        # restore blocking mode so any later read through the buffered
+        # Popen.stdout wrapper (same underlying fd) keeps normal semantics
         try:
-            chunk = os.read(fd, 65536)
-        except BlockingIOError:
-            continue
-        except (OSError, ValueError):
-            return
-        if not chunk:
-            return
-        yield chunk
+            os.set_blocking(fd, True)
+        except OSError:
+            pass
 
 
 def _iter_lines(fd: int):
@@ -110,8 +118,13 @@ class SubprocessPipeline:
     def _drain_meta(self):
         rfd = self._meta_read_fd
         try:
+            # guard the callback too: on_meta_line may raise OSError/ValueError
+            # (e.g. writing to a closed client socket) — that must not kill the
+            # reader thread with an unhandled traceback mid-stream
             for line in _iter_lines(rfd):
                 self.on_meta_line(line.rstrip(b"\r"))
+        except (OSError, ValueError):
+            pass
         finally:
             try:
                 os.close(rfd)
