@@ -60,10 +60,15 @@ class DvSymbolChain(Chain):
     """Device IQ → dibit stream for one digital-voice mode."""
 
     def __init__(self, in_rate: float, baud: float = 4800.0,
-                 rrc_alpha: float = 0.2, name: str = "dv"):
+                 rrc_alpha: float = 0.2, bandwidth: float = 6250.0,
+                 name: str = "dv"):
         self.baud = baud
         sps = int(round(DV_IF_RATE / baud))
         self.selector = Selector(in_rate, DV_IF_RATE, with_squelch=False)
+        # channel bandpass per the reference mode table (owrx/modes.py:134-139:
+        # DMR/YSF ±6250, D-Star/NXDN ±3250) — also keeps out-of-channel energy
+        # away from the nonlinear discriminator + timing estimator
+        self.selector.set_bandpass(-bandwidth, bandwidth)
         rrc = firdes.root_raised_cosine_taps(sps, rrc_alpha).astype(np.float32)
         super().__init__([
             self.selector,
@@ -85,10 +90,10 @@ class DvSymbolChain(Chain):
 
 # mode → chain factory (baud / filter width per csdr/chain/digiham.py:76-120)
 DV_FACTORY = {
-    "dmr": lambda in_rate: DvSymbolChain(in_rate, 4800.0, 0.2, name="dmr"),
-    "ysf": lambda in_rate: DvSymbolChain(in_rate, 4800.0, 0.2, name="ysf"),
-    "dstar": lambda in_rate: DvSymbolChain(in_rate, 4800.0, 0.5, name="dstar"),
-    "nxdn": lambda in_rate: DvSymbolChain(in_rate, 2400.0, 0.2, name="nxdn"),
+    "dmr": lambda in_rate: DvSymbolChain(in_rate, 4800.0, 0.2, 6250.0, name="dmr"),
+    "ysf": lambda in_rate: DvSymbolChain(in_rate, 4800.0, 0.2, 6250.0, name="ysf"),
+    "dstar": lambda in_rate: DvSymbolChain(in_rate, 4800.0, 0.5, 3250.0, name="dstar"),
+    "nxdn": lambda in_rate: DvSymbolChain(in_rate, 2400.0, 0.2, 3250.0, name="nxdn"),
 }
 
 # mode → (decoder command, mbe mode arg) — digiham binaries; {meta_fd} is

@@ -39,7 +39,12 @@ class Selector(Chain):
         self.shift = ShiftStage()
         workers = [self.shift]
         if d > 1:
-            workers.append(FirDecimateStage(d, transition_bw=0.15 / d))
+            # exact reference design constants (csdr/chain/selector.py:21-35):
+            # transition 0.15·out/in, cutoff precompensated to the FINAL
+            # output Nyquist so the fractional stage needs no second filter
+            workers.append(FirDecimateStage(
+                d, transition_bw=0.15 * self.out_rate / self.in_rate,
+                cutoff=0.5 * self.out_rate / self.in_rate))
         if frac != 1:
             workers.append(FractionalDecimatorStage(frac.numerator, frac.denominator))
         self.bandpass = BandpassStage(-out_rate / 2 * 0.95, out_rate / 2 * 0.95)

@@ -67,7 +67,9 @@ class ShiftStage(OpStage):
         return nco.shift_init(batch_shape)
 
     def params(self):
-        return jnp.asarray(self._rate, jnp.float32)
+        # host-side float64 → int32 fixed-point: exact phase accumulation
+        # on device, frequency resolution 2⁻³²·fs (ops/nco.py)
+        return jnp.asarray(nco.rate_to_fixed(self._rate))
 
     def apply(self, state, params, x):
         state, y = nco.shift_apply(state, params, x)
@@ -504,7 +506,7 @@ class RdsTapStage(OpStage):
         # RDS spectrum and stays clear of 53 kHz stereo-difference edge
         self.taps = firdes.lowpass_taps(3000.0 / in_spec.rate,
                                         2400.0 / in_spec.rate)
-        self.rate = -57000.0 / in_spec.rate
+        self.rate_fixed = nco.rate_to_fixed(-57000.0 / in_spec.rate)
         return out
 
     def init_state(self, batch_shape=()):
@@ -514,7 +516,7 @@ class RdsTapStage(OpStage):
     def apply(self, state, params, x):
         phase, tail = state
         phase, mixed = nco.shift_apply(
-            phase, jnp.float32(self.rate), x.astype(jnp.complex64))
+            phase, jnp.asarray(self.rate_fixed), x.astype(jnp.complex64))
         tail, bb = fir.fir_apply(tail, self.taps, mixed, self.DECIMATION)
         return (phase, tail), x, {"rds": bb}
 

@@ -1,40 +1,80 @@
-"""NCO frequency shift (complex mixer).
+"""NCO frequency shift (complex mixer) with exact fixed-point phase.
 
 Reference analog: ``pycsdr.modules.Shift`` used by the per-channel tuner
 (reference ``csdr/chain/selector.py:132-140``, rate = −offset/inputRate,
-settable live).  Here the shift rate is a *traced parameter*: retunes update
-a scalar in the param pytree and never recompile.  The phase ramp is
-computed vectorially (no per-sample recurrence) with the accumulated phase
-carried across blocks, and broadcasts over leading channel axes so a bank
-of channels shifts in one op.
+settable live).  The shift rate is a *traced parameter*: retunes update a
+scalar in the param pytree and never recompile.
+
+Numerics: phase is carried as a 32-bit fixed-point integer (cycles·2³²).
+Integer adds/multiplies wrap mod 2³², which IS phase arithmetic mod one
+cycle — so the phase ramp and the carried phase are exact for arbitrarily
+long streams.  A float32 phase accumulator drifts ~0.02 rad per 100 ms
+block at MHz rates (float32 ULP of 2π·rate·n at n≈2·10⁵ is huge), which is
+audible as parity loss against a float64 reference; the fixed-point path
+has zero drift and quantizes frequency to 2⁻³²·fs (≈ 0.0006 Hz at
+2.4 MS/s).  The host computes the fixed-point rate from float64
+(``rate_to_fixed``), so traced-param precision is not limited to float32.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-TWO_PI = 2.0 * jnp.pi
+TWO_PI = 2.0 * np.pi
+_SCALE = 2.0 ** 32
+
+
+def rate_to_fixed(rate) -> np.ndarray:
+    """Host-side: normalized rate (cycles/sample, float64) → int32 fixed.
+
+    Accepts scalars or arrays (per-channel banks).  Keeps full float64
+    precision of the requested frequency: quantization is 2⁻³² cycles/sample.
+    """
+    f = np.mod(np.asarray(rate, np.float64), 1.0)
+    fixed = np.int64(np.round(f * _SCALE)) & np.int64(0xFFFFFFFF)
+    return fixed.astype(np.uint32).view(np.int32)
 
 
 def shift_init(batch_shape=()) -> jnp.ndarray:
-    """Initial carried phase (radians), one per channel."""
-    return jnp.zeros(batch_shape, dtype=jnp.float32)
+    """Initial carried phase (fixed-point cycles·2³²), one per channel."""
+    return jnp.zeros(batch_shape, dtype=jnp.int32)
+
+
+def _as_fixed(rate) -> jnp.ndarray:
+    """Accept float rates (converted in-graph, float32 precision — test/ad-hoc
+    convenience) or int32 fixed-point (exact host-converted param)."""
+    rate = jnp.asarray(rate)
+    if jnp.issubdtype(rate.dtype, jnp.integer):
+        return rate.astype(jnp.int32)
+    f = jnp.mod(rate.astype(jnp.float64) if rate.dtype == jnp.float64
+                else rate.astype(jnp.float32), 1.0)
+    # split into high/low halves so the float→fixed conversion keeps all
+    # 32 bits (a single f·2³² cast saturates int32)
+    hi = jnp.floor(f * jnp.float32(65536.0))
+    lo = jnp.round((f * jnp.float32(65536.0) - hi) * jnp.float32(65536.0))
+    return (hi.astype(jnp.int32) << 16) + lo.astype(jnp.int32)
 
 
 def shift_apply(phase: jnp.ndarray, rate, x: jnp.ndarray):
     """Mix x by exp(j·2π·rate·n) with carried phase.
 
-    phase: (...,) float32 radians   — carried state
-    rate:  scalar or (...,) float32 — normalized frequency (cycles/sample)
+    phase: (...,) int32 fixed-point cycles — carried state
+    rate:  scalar or (...,) int32 fixed-point (see rate_to_fixed) or float
     x:     (..., B) complex64
     returns (new_phase, y)
     """
     b = x.shape[-1]
-    rate = jnp.asarray(rate, jnp.float32)
-    n = jnp.arange(b, dtype=jnp.float32)
-    ph = phase[..., None] + TWO_PI * rate[..., None] * n
-    # keep magnitudes small for float32 trig accuracy
-    ph = jnp.mod(ph, TWO_PI)
-    y = x * jnp.exp(1j * ph.astype(jnp.complex64))
-    new_phase = jnp.mod(phase + TWO_PI * rate * b, TWO_PI)
+    rf = _as_fixed(rate)
+    n = jnp.arange(b, dtype=jnp.int32)
+    ph = phase[..., None] + n * rf[..., None]          # exact mod 2³²
+    cycles = ph.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    angle = (TWO_PI * cycles).astype(jnp.float32)
+    y = x * jax_expj(angle)
+    new_phase = phase + jnp.int32(b) * rf              # exact mod 2³²
     return new_phase, y
+
+
+def jax_expj(angle: jnp.ndarray) -> jnp.ndarray:
+    """exp(j·angle) for float32 angle in [−π, π] (complex64)."""
+    return jnp.cos(angle) + 1j * jnp.sin(angle)
