@@ -1,233 +1,14 @@
 /* OpenWebRX-TPU browser receiver.
  * Speaks the OpenWebRX wire protocol: "SERVER DE CLIENT" handshake, typed
- * JSON down-messages, binary 0x01 FFT / 0x02 ADPCM audio frames.
+ * JSON down-messages, binary 0x01 FFT / 0x02 ADPCM audio / 0x03 secondary
+ * FFT / 0x04 HD audio frames.
+ *
+ * Components live in lib/: AudioEngine (AudioWorklet + ADPCM),
+ * Waterfall (themes + level modes) + Spectrum, MessagePanel (per-mode
+ * decode panels), MetaPanel (digital voice / broadcast metadata),
+ * Bandplan (ribbon + bookmark dialog), Lookup (callsign/MMSI).
  */
 "use strict";
-
-/* ------------------------------------------------ IMA ADPCM decoder --- */
-const IMA_INDEX = [-1,-1,-1,-1,2,4,6,8,-1,-1,-1,-1,2,4,6,8];
-const IMA_STEP = [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
-  50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,
-  337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,
-  1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
-  6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,
-  22385,24623,27086,29794,32767];
-
-class AdpcmCodec {
-  constructor() { this.reset(); }
-  reset() { this.pred = 0; this.idx = 0; }
-  nibble(n) {
-    const step = IMA_STEP[this.idx];
-    let diff = step >> 3;
-    if (n & 1) diff += step >> 2;
-    if (n & 2) diff += step >> 1;
-    if (n & 4) diff += step;
-    if (n & 8) diff = -diff;
-    this.pred = Math.max(-32768, Math.min(32767, this.pred + diff));
-    this.idx = Math.max(0, Math.min(88, this.idx + IMA_INDEX[n]));
-    return this.pred;
-  }
-  decode(bytes) {
-    const out = new Int16Array(bytes.length * 2);
-    for (let i = 0; i < bytes.length; i++) {
-      out[2*i] = this.nibble(bytes[i] & 0x0f);
-      out[2*i+1] = this.nibble(bytes[i] >> 4);
-    }
-    return out;
-  }
-}
-
-/* Streaming audio decoder with SYNC-frame resynchronisation. */
-class SyncAudioDecoder {
-  constructor() { this.codec = new AdpcmCodec(); this.phase = 0;
-                  this.matched = 0; this.syncBuf = []; this.counter = 0; }
-  decode(bytes) {
-    const out = [];
-    for (const b of bytes) {
-      if (this.phase === 0) {
-        this.matched = (b === "SYNC".charCodeAt(this.matched)) ? this.matched+1 : 0;
-        if (this.matched === 4) { this.syncBuf = []; this.phase = 1; this.matched = 0; }
-      } else if (this.phase === 1) {
-        this.syncBuf.push(b);
-        if (this.syncBuf.length === 4) {
-          const dv = new DataView(new Uint8Array(this.syncBuf).buffer);
-          this.codec.idx = dv.getInt16(0, true);
-          this.codec.pred = dv.getInt16(2, true);
-          this.counter = 1000; this.phase = 2;
-        }
-      } else {
-        out.push(this.codec.nibble(b & 0x0f), this.codec.nibble(b >> 4));
-        if (this.counter-- === 0) this.phase = 0;
-      }
-    }
-    return Int16Array.from(out);
-  }
-}
-
-/* ------------------------------------------------------- audio engine --- */
-class AudioEngine {
-  constructor() {
-    this.ctx = null; this.rate = 12000; this.buffer = new Float32Array(0);
-    this.decoder = new SyncAudioDecoder(); this.volume = 0.7; this.started = false;
-  }
-  start() {
-    if (this.started) return;
-    this.ctx = new (window.AudioContext || window.webkitAudioContext)();
-    const node = this.ctx.createScriptProcessor(4096, 0, 1);
-    node.onaudioprocess = (e) => this.pull(e.outputBuffer.getChannelData(0));
-    node.connect(this.ctx.destination);
-    this.node = node; this.started = true;
-  }
-  push(bytes, rate) {
-    if (!this.started) return;
-    if (rate && rate !== this.rate) {        // e.g. WFM HD switches to 48 kHz
-      this.rate = rate;
-      this.decoder = new SyncAudioDecoder();
-      this.buffer = new Float32Array(0);
-    }
-    const pcm = this.decoder.decode(bytes);
-    const ratio = this.ctx.sampleRate / this.rate;
-    const n = Math.floor(pcm.length * ratio);
-    const res = new Float32Array(n);
-    for (let i = 0; i < n; i++) {
-      const pos = i / ratio;
-      const i0 = Math.floor(pos), frac = pos - i0;
-      const a = pcm[Math.min(i0, pcm.length-1)] / 32768;
-      const b = pcm[Math.min(i0+1, pcm.length-1)] / 32768;
-      res[i] = (a + (b - a) * frac) * this.volume;
-    }
-    const merged = new Float32Array(this.buffer.length + res.length);
-    merged.set(this.buffer); merged.set(res, this.buffer.length);
-    /* cap buffered audio at ~1s to bound latency */
-    this.buffer = merged.length > this.ctx.sampleRate ?
-      merged.subarray(merged.length - this.ctx.sampleRate) : merged;
-  }
-  pull(out) {
-    const n = Math.min(out.length, this.buffer.length);
-    out.set(this.buffer.subarray(0, n));
-    out.fill(0, n);
-    this.buffer = this.buffer.subarray(n);
-  }
-}
-
-/* ---------------------------------------------------------- waterfall --- */
-class Waterfall {
-  constructor(canvas, scaleCanvas) {
-    this.canvas = canvas; this.ctx = canvas.getContext("2d");
-    this.scale = scaleCanvas; this.sctx = scaleCanvas.getContext("2d");
-    this.fftSize = 4096; this.min = -88; this.max = -20;
-    this.zoom = 1; this.center = 0.5;  // view center in [0,1] of full span
-    this.colormap = this.buildColormap();
-    this.resize();
-    window.addEventListener("resize", () => this.resize());
-  }
-  resize() {
-    this.canvas.width = this.canvas.clientWidth;
-    this.canvas.height = this.canvas.clientHeight;
-    this.scale.width = this.scale.clientWidth;
-    this.img = this.ctx.createImageData(this.canvas.width, 1);
-  }
-  buildColormap() {
-    /* simple turbo-like gradient */
-    const stops = [[48,18,59],[62,120,222],[34,205,190],[134,240,80],
-                   [249,213,51],[244,105,34],[122,4,3]];
-    const map = new Uint8ClampedArray(256 * 3);
-    for (let i = 0; i < 256; i++) {
-      const t = i / 255 * (stops.length - 1);
-      const j = Math.min(Math.floor(t), stops.length - 2), f = t - j;
-      for (let c = 0; c < 3; c++)
-        map[i*3+c] = stops[j][c] + (stops[j+1][c] - stops[j][c]) * f;
-    }
-    return map;
-  }
-  viewRange() {
-    const span = 1 / this.zoom;
-    let lo = this.center - span / 2;
-    lo = Math.max(0, Math.min(1 - span, lo));
-    return [lo, lo + span];
-  }
-  addRow(row) {
-    const w = this.canvas.width;
-    /* scroll down by 1px */
-    this.ctx.drawImage(this.canvas, 0, 0, w, this.canvas.height - 1,
-                       0, 1, w, this.canvas.height - 1);
-    const [lo, hi] = this.viewRange();
-    const data = this.img.data;
-    for (let x = 0; x < w; x++) {
-      const bin = Math.floor((lo + (hi - lo) * x / w) * row.length);
-      const v = row[Math.max(0, Math.min(row.length - 1, bin))];
-      let t = Math.round((v - this.min) / (this.max - this.min) * 255);
-      t = Math.max(0, Math.min(255, t));
-      data[x*4] = this.colormap[t*3];
-      data[x*4+1] = this.colormap[t*3+1];
-      data[x*4+2] = this.colormap[t*3+2];
-      data[x*4+3] = 255;
-    }
-    this.ctx.putImageData(this.img, 0, 0);
-  }
-  /* auto level from percentiles of the latest row */
-  autoLevel(row) {
-    const sorted = Float32Array.from(row).sort();
-    this.min = sorted[Math.floor(sorted.length * 0.2)] - 5;
-    this.max = sorted[sorted.length - 1] + 15;
-  }
-  drawScale(centerFreq, sampRate) {
-    const w = this.scale.width, ctx = this.sctx;
-    ctx.fillStyle = "#0c0f12"; ctx.fillRect(0, 0, w, 24);
-    ctx.fillStyle = "#8a97a5"; ctx.font = "10px sans-serif";
-    ctx.strokeStyle = "#39434d";
-    const [lo, hi] = this.viewRange();
-    const fLo = centerFreq + (lo - 0.5) * sampRate;
-    const fHi = centerFreq + (hi - 0.5) * sampRate;
-    const span = fHi - fLo;
-    const step = Math.pow(10, Math.floor(Math.log10(span / 8)));
-    const first = Math.ceil(fLo / step) * step;
-    for (let f = first; f < fHi; f += step) {
-      const x = (f - fLo) / span * w;
-      ctx.beginPath(); ctx.moveTo(x, 14); ctx.lineTo(x, 24); ctx.stroke();
-      ctx.fillText((f / 1e6).toFixed(3), x + 2, 11);
-    }
-  }
-}
-
-/* ------------------------------------------------------------ spectrum --- */
-/* Live spectrum line graph over the same FFT rows (reference
- * lib/Spectrum.js): exponential averaging, filled trace. */
-class Spectrum {
-  constructor(canvas) {
-    this.canvas = canvas; this.ctx = canvas.getContext("2d");
-    this.avg = null; this.alpha = 0.5; this.enabled = false;
-  }
-  toggle() {
-    this.enabled = !this.enabled;
-    this.canvas.style.display = this.enabled ? "block" : "none";
-    if (this.enabled) {
-      this.canvas.width = this.canvas.clientWidth;
-      this.canvas.height = this.canvas.clientHeight;
-    }
-    return this.enabled;
-  }
-  update(row, view, min, max) {
-    if (!this.enabled) return;
-    if (this.avg === null || this.avg.length !== row.length)
-      this.avg = Float32Array.from(row);
-    for (let i = 0; i < row.length; i++)
-      this.avg[i] += (row[i] - this.avg[i]) * this.alpha;
-    const ctx = this.ctx, w = this.canvas.width, h = this.canvas.height;
-    const [lo, hi] = view;
-    ctx.fillStyle = "#0a0d10"; ctx.fillRect(0, 0, w, h);
-    ctx.beginPath();
-    for (let x = 0; x < w; x++) {
-      const bin = Math.floor((lo + (hi - lo) * x / w) * row.length);
-      const v = this.avg[Math.max(0, Math.min(row.length - 1, bin))];
-      const y = h - (v - min) / (max - min) * h;
-      if (x === 0) ctx.moveTo(x, y); else ctx.lineTo(x, y);
-    }
-    ctx.strokeStyle = "#3fa9f5"; ctx.lineWidth = 1; ctx.stroke();
-    ctx.lineTo(w, h); ctx.lineTo(0, h); ctx.closePath();
-    ctx.fillStyle = "rgba(63,169,245,.15)"; ctx.fill();
-  }
-}
 
 /* ------------------------------------------------------------- scanner --- */
 /* Client-side bookmark scanner (reference lib/Scanner.js:1-110): averages
@@ -243,12 +24,12 @@ class Scanner {
     return (sq > -150 ? sq : -80) - 13;
   }
   update(row) {
-    if (!this.enabled || !app.bookmarks.length) return;
+    if (!this.enabled || !allBookmarks().length) return;
     const sr = app.config.samp_rate, cf = app.config.center_freq;
     if (!sr) return;
     const now = Date.now();
     const th = this.threshold();
-    for (const b of app.bookmarks) {
+    for (const b of allBookmarks()) {
       const frac = (b.frequency - cf) / sr + 0.5;
       if (frac < 0 || frac > 1) continue;
       const bin = Math.floor(frac * row.length);
@@ -268,78 +49,6 @@ class Scanner {
         this.levels[this.current] <= th) {
       this.current = null;             // signal gone: resume scanning
     }
-  }
-}
-
-/* -------------------------------------------------------------- app ----- */
-const app = {
-  ws: null, config: {}, modes: [], mode: "nfm", offset: 0,
-  bookmarks: [], dials: [],
-  audio: new AudioEngine(), rxName: document.getElementById("receiver-name"),
-  waterfall: new Waterfall(document.getElementById("waterfall"),
-                           document.getElementById("scale")),
-  fftCodec: new AdpcmCodec(), autoLeveled: 0, dspStarted: false,
-  spectrum: new Spectrum(document.getElementById("spectrum")),
-  scanner: new Scanner(),
-};
-app.secondaryWf = new SecondaryWaterfall(document.getElementById("secondary-wf"));
-app.imagePanel = new ImagePanel(document.getElementById("digi-image"));
-if (window.Plugins) Plugins.attach(app);
-
-function log(msg) {
-  const el = document.getElementById("log");
-  el.textContent += msg + "\n";
-  el.scrollTop = el.scrollHeight;
-}
-
-function connect() {
-  const proto = location.protocol === "https:" ? "wss" : "ws";
-  const ws = new WebSocket(`${proto}://${location.host}/ws/`);
-  ws.binaryType = "arraybuffer";
-  app.ws = ws;
-  ws.onopen = () => {};
-  ws.onclose = () => { log("disconnected, retrying in 3s"); setTimeout(connect, 3000); };
-  ws.onmessage = onMessage;
-}
-
-function send(obj) { if (app.ws && app.ws.readyState === 1) app.ws.send(JSON.stringify(obj)); }
-
-function onMessage(evt) {
-  if (typeof evt.data === "string") {
-    if (evt.data.startsWith("CLIENT DE SERVER")) {
-      app.ws.send("SERVER DE CLIENT client=openwebrx-tpu.js type=receiver");
-      send({type: "dspcontrol", action: "start"});
-      return;
-    }
-    const msg = JSON.parse(evt.data);
-    handleJson(msg);
-    if (window.Plugins) Plugins.fire("server_message", msg);
-    return;
-  }
-  const data = new Uint8Array(evt.data);
-  const type = data[0], payload = data.subarray(1);
-  if (type === 1) {
-    let row;
-    if (app.config.fft_compression === "adpcm") {
-      app.fftCodec.reset();
-      const i16 = app.fftCodec.decode(payload);
-      row = new Float32Array(i16.length - 10);
-      for (let i = 0; i < row.length; i++) row[i] = i16[i + 10] / 100;
-    } else {
-      row = new Float32Array(payload.slice().buffer);
-    }
-    if (app.autoLeveled++ % 50 === 0) app.waterfall.autoLevel(row);
-    app.waterfall.addRow(row);
-    app.spectrum.update(row, app.waterfall.viewRange(),
-                        app.waterfall.min, app.waterfall.max);
-    app.scanner.update(row);
-    if (window.Plugins) Plugins.fire("fft", row);
-  } else if (type === 2) {
-    app.audio.push(payload, 12000);
-  } else if (type === 4) {                   // HD (48 kHz) audio for WFM
-    app.audio.push(payload, 48000);
-  } else if (type === 3) {                   // secondary (digimode) FFT
-    app.secondaryWf.addRow(payload);
   }
 }
 
@@ -395,29 +104,94 @@ class ImagePanel {
   }
 }
 
-/* per-mode decode table (reference lib/MessagePanel.js) */
-function addMessageRow(ev) {
-  const table = document.getElementById("messages");
-  table.style.display = "table";
-  const body = document.getElementById("messages-body");
-  const tr = document.createElement("tr");
-  const from = ev.source || ev.address || ev.callsign ||
-               (ev.station ? `station ${ev.station}` : "") || ev.flight || "";
-  const info = ev.comment || ev.message || ev.text || ev.header ||
-               (ev.lat !== undefined ? `${ev.lat.toFixed(4)} ${ev.lon.toFixed(4)}` : "") ||
-               (ev.format ? `${ev.format} ${ev.category || ""} ${ev.eos || ""}` : "") ||
-               ev.filename || "";
-  const utc = new Date().toISOString().slice(11, 19);
-  for (const text of [utc, ev.mode || "", from, info]) {
-    const td = document.createElement("td");
-    td.style.padding = "3px 6px";
-    td.textContent = typeof text === "string" ? text : JSON.stringify(text);
-    tr.appendChild(td);
-  }
-  body.appendChild(tr);
-  while (body.children.length > 50) body.removeChild(body.firstChild);
-  tr.scrollIntoView({block: "nearest"});
+/* -------------------------------------------------------------- app ----- */
+const app = {
+  ws: null, config: {}, modes: [], mode: "nfm", offset: 0,
+  bookmarks: [], dials: [], bands: [],
+  audio: new AudioEngine(), rxName: document.getElementById("receiver-name"),
+  waterfall: new Waterfall(document.getElementById("waterfall"),
+                           document.getElementById("scale")),
+  fftCodec: new AdpcmCodec(), dspStarted: false,
+  spectrum: new Spectrum(document.getElementById("spectrum")),
+  scanner: new Scanner(),
+  bandplan: new Bandplan(document.getElementById("bandplan")),
+  messagePanels: new MessagePanelManager(document.getElementById("message-panels")),
+  metaPanels: new MetaPanelManager(document.getElementById("meta-panels")),
+};
+window.app = app;
+app.secondaryWf = new SecondaryWaterfall(document.getElementById("secondary-wf"));
+app.imagePanel = new ImagePanel(document.getElementById("digi-image"));
+app.bookmarkDialog = new BookmarkDialog(app);
+app.bookmarkDialog.onchange = () => drawBookmarks();
+app.localBookmarks = new BookmarkLocalStorage();
+app.bandplan.attach(() => {
+  const sr = app.config.samp_rate || 1, cf = app.config.center_freq || 0;
+  const [lo, hi] = app.waterfall.viewRange();
+  return [cf + (lo - 0.5) * sr, cf + (hi - 0.5) * sr];
+});
+if (window.Plugins) Plugins.attach(app);
+
+function allBookmarks() {
+  return (app.bookmarks || []).concat(app.localBookmarks.get());
 }
+
+function log(msg) {
+  const el = document.getElementById("log");
+  el.textContent += msg + "\n";
+  el.scrollTop = el.scrollHeight;
+}
+
+function connect() {
+  const proto = location.protocol === "https:" ? "wss" : "ws";
+  const ws = new WebSocket(`${proto}://${location.host}/ws/`);
+  ws.binaryType = "arraybuffer";
+  app.ws = ws;
+  ws.onopen = () => {};
+  ws.onclose = () => { log("disconnected, retrying in 3s"); setTimeout(connect, 3000); };
+  ws.onmessage = onMessage;
+}
+
+function send(obj) { if (app.ws && app.ws.readyState === 1) app.ws.send(JSON.stringify(obj)); }
+
+function onMessage(evt) {
+  if (typeof evt.data === "string") {
+    if (evt.data.startsWith("CLIENT DE SERVER")) {
+      app.ws.send("SERVER DE CLIENT client=openwebrx-tpu.js type=receiver");
+      send({type: "dspcontrol", action: "start"});
+      return;
+    }
+    const msg = JSON.parse(evt.data);
+    handleJson(msg);
+    if (window.Plugins) Plugins.fire("server_message", msg);
+    return;
+  }
+  const data = new Uint8Array(evt.data);
+  const type = data[0], payload = data.subarray(1);
+  if (type === 1) {
+    let row;
+    if (app.config.fft_compression === "adpcm") {
+      app.fftCodec.reset();
+      const i16 = app.fftCodec.decode(payload);
+      row = new Float32Array(i16.length - 10);
+      for (let i = 0; i < row.length; i++) row[i] = i16[i + 10] / 100;
+    } else {
+      row = new Float32Array(payload.slice().buffer);
+    }
+    app.waterfall.addRow(row);
+    app.spectrum.update(row, app.waterfall.viewRange(),
+                        app.waterfall.min, app.waterfall.max);
+    app.scanner.update(row);
+    if (window.Plugins) Plugins.fire("fft", row);
+  } else if (type === 2) {
+    app.audio.push(payload, 12000);
+  } else if (type === 4) {                   // HD (48 kHz) audio for WFM
+    app.audio.push(payload, 48000);
+  } else if (type === 3) {                   // secondary (digimode) FFT
+    app.secondaryWf.addRow(payload);
+  }
+}
+
+
 
 function handleJson(msg) {
   switch (msg.type) {
@@ -428,7 +202,8 @@ function handleJson(msg) {
       Object.assign(app.config, msg.value);
       if (msg.value.start_mod) setMode(msg.value.start_mod, true);
       if (msg.value.start_offset_freq !== undefined) app.offset = msg.value.start_offset_freq;
-      updateFreq(); drawScale(); drawBookmarks();
+      if (msg.value.audio_compression) app.audio.compression = msg.value.audio_compression;
+      updateFreq(); drawScale(); drawBookmarks(); app.bandplan.draw();
       break;
     }
     case "modes":
@@ -452,9 +227,14 @@ function handleJson(msg) {
       document.getElementById("smeter").style.width = pct + "%";
       break;
     }
+    case "cpuusage": {
+      const el = document.getElementById("cpu");
+      if (el) el.textContent = `cpu ${(msg.value * 100).toFixed(0)}%`;
+      break;
+    }
     case "log_message": log(msg.value); break;
     case "secondary_demod": {
-      /* JSON event lines route to the image canvas / message table;
+      /* JSON event lines route to the image canvas / message panels;
        * plain text scrolls in the decoded-text pane */
       let plain = "";
       for (const line of String(msg.value).split("\n")) {
@@ -462,7 +242,7 @@ function handleJson(msg) {
           try {
             const ev = JSON.parse(line);
             if (ev.pixels !== undefined) app.imagePanel.drawRow(ev);
-            else addMessageRow(ev);
+            else app.messagePanels.add(ev);
             continue;
           } catch (e) { /* fall through to text */ }
         }
@@ -470,6 +250,7 @@ function handleJson(msg) {
       }
       if (plain) {
         const el = document.getElementById("decoded");
+        el.style.display = "block";
         el.textContent += plain;
         if (el.textContent.length > 4000)
           el.textContent = el.textContent.slice(-3000);
@@ -495,22 +276,16 @@ function handleJson(msg) {
       app.bookmarks = msg.value || [];
       drawBookmarks();
       break;
+    case "bands":
+      app.bands = msg.value || [];
+      app.bandplan.setBands(app.bands);
+      break;
     case "dial_frequencies":
       app.dials = msg.value || [];
       break;
-    case "metadata": {
-      const el = document.getElementById("decoded");
-      const v = msg.value || {};
-      const who = v.callsign || (v.additional && v.additional.callsign) ||
-                  v.source || v.ourcall || "";
-      const parts = [v.protocol, who, v.talkeralias, v.target,
-                     v.additional && v.additional.name].filter(Boolean);
-      if (parts.length) {
-        el.textContent += parts.join(" · ") + "\n";
-        el.scrollTop = el.scrollHeight;
-      }
+    case "metadata":
+      app.metaPanels.update(msg.value || {});
       break;
-    }
   }
 }
 
@@ -522,16 +297,21 @@ function drawBookmarks() {
   if (!sr) return;
   const [lo, hi] = app.waterfall.viewRange();
   const w = bar.clientWidth;
-  for (const b of app.bookmarks || []) {
+  for (const b of allBookmarks()) {
     const frac = ((b.frequency - cf) / sr + 0.5 - lo) / (hi - lo);
     if (frac < 0 || frac > 1) continue;
     const el = document.createElement("div");
-    el.className = "bookmark";
+    el.className = "bookmark" + (b.source === "local" ? " local" : "");
     el.style.left = (frac * w) + "px";
     el.textContent = b.name;
     el.title = `${(b.frequency / 1e6).toFixed(4)} MHz ${b.modulation}` +
-               (b.description ? ` — ${b.description}` : "");
-    el.onclick = () => {
+               (b.description ? ` — ${b.description}` : "") +
+               (b.source === "local" ? " (local — shift-click to edit)" : "");
+    el.onclick = (e) => {
+      if (e.shiftKey && b.source === "local") {
+        app.bookmarkDialog.open(b);
+        return;
+      }
       if (b.modulation) setMode(b.modulation);
       tune(b.frequency - cf);
     };
@@ -584,6 +364,8 @@ function drawScale() {
   app.waterfall.drawScale(app.config.center_freq || 0, app.config.samp_rate || 1);
 }
 
+function redrawOverlays() { drawScale(); drawPassband(); drawBookmarks(); app.bandplan.draw(); }
+
 function drawPassband() {
   const pb = document.getElementById("passband");
   const sr = app.config.samp_rate || 1;
@@ -613,7 +395,7 @@ function drawPassband() {
       const shift = dx / wf.clientWidth * span;
       app.waterfall.center = Math.max(span / 2, Math.min(1 - span / 2,
         dragStart.center - shift));
-      drawScale(); drawPassband(); drawBookmarks();
+      redrawOverlays();
     }
   });
   window.addEventListener("mouseup", (e) => {
@@ -639,7 +421,7 @@ function drawPassband() {
     const [lo, hi] = app.waterfall.viewRange();
     app.waterfall.zoom = Math.pow(2, level);
     app.waterfall.center = lo + (hi - lo) * x;
-    drawScale(); drawPassband(); drawBookmarks();
+    redrawOverlays();
   });
 })();
 
@@ -651,20 +433,76 @@ document.getElementById("zoom").addEventListener("input", (e) => {
   app.waterfall.zoom = Math.pow(2, parseInt(e.target.value));
   const sr = app.config.samp_rate || 1;
   app.waterfall.center = app.offset / sr + 0.5;
-  drawScale(); drawPassband(); drawBookmarks();
+  redrawOverlays();
 });
 
 document.getElementById("volume").addEventListener("input", (e) => {
-  app.audio.volume = parseFloat(e.target.value);
+  app.audio.setVolume(parseFloat(e.target.value));
 });
 
 document.getElementById("mute").addEventListener("click", () => {
-  app.audio.start();
-  document.getElementById("mute").textContent = "Audio ✓";
+  app.audio.start().then(() => {
+    document.getElementById("mute").textContent = "Audio ✓";
+    document.getElementById("audio-stats").style.display = "inline";
+  });
+});
+
+/* audio buffer/underrun stats readout (reference AudioEngine stats) */
+setInterval(() => {
+  const el = document.getElementById("audio-stats");
+  if (!el || el.style.display === "none") return;
+  const s = app.audio.getStats();
+  el.textContent = `${s.mode} · ${s.bufferedMs} ms · ${s.underruns} drops`;
+}, 1000);
+
+document.getElementById("record").addEventListener("click", (e) => {
+  if (app.audio.recorder) {
+    const blob = app.audio.stopRecording();
+    e.target.classList.remove("active");
+    e.target.textContent = "Rec";
+    if (blob) {
+      const a = document.createElement("a");
+      a.href = URL.createObjectURL(blob);
+      a.download = `openwebrx-${new Date().toISOString().replace(/[:.]/g, "-")}.wav`;
+      a.click();
+      setTimeout(() => URL.revokeObjectURL(a.href), 5000);
+    }
+  } else {
+    app.audio.startRecording();
+    e.target.classList.add("active");
+    e.target.textContent = "Rec ●";
+  }
 });
 
 document.getElementById("profiles").addEventListener("change", (e) => {
   send({type: "selectprofile", params: {profile: e.target.value}});
+});
+
+/* waterfall theme + level mode controls */
+(() => {
+  const themeSel = document.getElementById("wf-theme");
+  for (const name of Object.keys(WATERFALL_THEMES)) {
+    const o = document.createElement("option");
+    o.value = name; o.textContent = name;
+    if (name === app.waterfall.theme) o.selected = true;
+    themeSel.appendChild(o);
+  }
+  themeSel.addEventListener("change", (e) => app.waterfall.setTheme(e.target.value));
+  const modeSel = document.getElementById("wf-levels");
+  modeSel.addEventListener("change", (e) => {
+    app.waterfall.setLevelMode(e.target.value);
+    document.getElementById("wf-manual").style.display =
+      e.target.value === "fixed" ? "inline" : "none";
+  });
+  const apply = () => app.waterfall.setLevels(
+    parseFloat(document.getElementById("wf-min").value),
+    parseFloat(document.getElementById("wf-max").value));
+  document.getElementById("wf-min").addEventListener("input", apply);
+  document.getElementById("wf-max").addEventListener("input", apply);
+})();
+
+document.getElementById("bookmark-add").addEventListener("click", () => {
+  app.bookmarkDialog.open(null);
 });
 
 /* digimode list from the server modes registry (reference demodulator
@@ -682,9 +520,9 @@ function renderDigimodes() {
 }
 
 function clearDigiPanels() {
-  document.getElementById("decoded").textContent = "";
-  document.getElementById("messages-body").innerHTML = "";
-  document.getElementById("messages").style.display = "none";
+  const dec = document.getElementById("decoded");
+  dec.textContent = "";
+  app.messagePanels.clearAll();
   app.secondaryWf.show(false);
   app.imagePanel.show(false);
 }
@@ -752,6 +590,7 @@ window.addEventListener("keydown", (e) => {
     case "Z": zoomEl.value = Math.max(0, +zoomEl.value - 1);
       zoomEl.dispatchEvent(new Event("input")); break;
     case "s": document.getElementById("spectrum-toggle").click(); break;
+    case "b": app.bookmarkDialog.open(null); break;
     case " ": document.getElementById("mute").click(); e.preventDefault(); break;
   }
 });

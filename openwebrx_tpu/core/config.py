@@ -82,6 +82,8 @@ def default_config() -> PropertyLayer:
         google_maps_api_key="",
         openweathermap_api_key="",
         map_type="leaflet",
+        # raster tile template for the map page; "" → offline vector basemap
+        map_tile_url="https://tile.openstreetmap.org/{z}/{x}/{y}.png",
         map_position_retention_time=2 * 60 * 60,
         map_call_retention_time=5 * 60,
         map_max_calls=5,

@@ -102,6 +102,9 @@ class Map:
             self.calls.append(record)
             cutoff = time.time() * 1000 - 5 * 60 * 1000
             self.calls = [c for c in self.calls if c["lastseen"] > cutoff][-50:]
+        # call lines reach map clients like position updates do (reference
+        # Map.updateCall → broadcast, owrx/map.py:168-178)
+        self._broadcast([record])
 
     def expire(self):
         cutoff = (time.time() - self.retention_time()) * 1000
@@ -110,9 +113,11 @@ class Map:
                               if v["lastseen"] > cutoff}
 
     def full_dump(self) -> list[dict]:
+        """Positions + recent call lines (call records carry a "caller"
+        key, which is how clients tell them apart)."""
         self.expire()
         with self._plock:
-            return list(self.positions.values())
+            return list(self.positions.values()) + list(self.calls)
 
     def subscribe(self, cb):
         self.subscribers.append(cb)

@@ -251,6 +251,14 @@ class Program:
         round trip per program."""
         self.state, yp, auxp = self._step(self.state, self.chain.params(),
                                           self.pack_input(x))
+        # start device→host copies NOW: over a tunnel-attached TPU each
+        # np.asarray is a serial RPC; initiating all copies async here lets
+        # them stream back in parallel while the host does other work
+        for leaf in jax.tree.leaves((yp, auxp)):
+            try:
+                leaf.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
         return yp, auxp
 
     def fetch(self, yp, auxp):

@@ -655,15 +655,32 @@ class DeviceRuntime:
         m_rt = m.direct(f"{prefix}.realtime_factor")
         rate = float(self.source.get_sample_rate() or 0)
         ema_ms = None
+        # one-deep software pipeline: dispatch block N to the device, then
+        # deliver block N−1's (already transferred) results.  Over a
+        # tunnel-attached TPU the device→host copies of block N stream back
+        # while the host waits for block N+1, so the per-block cost the
+        # loop pays is dispatch (~ms), not the transfer round trip.
+        pending = None
         while self._running:
             block = self.source.read_block(timeout=1.0)
             if block is None:
+                if pending is not None:
+                    try:
+                        self._complete_block(pending)
+                    except Exception:
+                        logger.exception("device %s block completion failed",
+                                         self.source.id)
+                    pending = None
                 continue
             t0 = _time.perf_counter()
             try:
-                self._process_block(block)
+                nxt = self._dispatch_block(block)
+                if pending is not None:
+                    self._complete_block(pending)
+                pending = nxt
             except Exception:
                 logger.exception("device %s block processing failed", self.source.id)
+                pending = None
                 continue
             dt = _time.perf_counter() - t0
             ema_ms = dt * 1e3 if ema_ms is None else ema_ms * 0.9 + dt * 1e3 * 0.1
@@ -675,8 +692,18 @@ class DeviceRuntime:
                 m_rate.set(round(len(block) / (ema_ms / 1e3)))
                 if rate:
                     m_rt.set(round(len(block) / (ema_ms / 1e3) / rate, 2))
+        if pending is not None:
+            try:
+                self._complete_block(pending)
+            except Exception:
+                pass
 
     def _process_block(self, block: np.ndarray):
+        """Synchronous dispatch+complete (kept for tests/direct callers;
+        the streaming loop pipelines the two phases one block deep)."""
+        self._complete_block(self._dispatch_block(block))
+
+    def _dispatch_block(self, block: np.ndarray) -> dict:
         import jax
         from openwebrx_tpu.runtime.chain import host_pack_complex
 
@@ -694,7 +721,10 @@ class DeviceRuntime:
         # dispatch everything BEFORE fetching anything: JAX async dispatch
         # overlaps the programs' device work and result transfers
         fft_pending = self.fft_program.dispatch(xdev) if want_fft else None
-        bank_pending = {bucket: bank.program.dispatch(xdev)
+        # snapshot each bank's program alongside its pending outputs: a
+        # mode-switch rebuild between dispatch and complete must not make
+        # complete() unpack with the NEW program's masks
+        bank_pending = {bucket: (bank.program, bank.program.dispatch(xdev))
                         for bucket, bank in banks.items()}
         # secondaries fetch internally; they run while the banks are in
         # flight (and only on their own block cadence)
@@ -703,6 +733,14 @@ class DeviceRuntime:
                 sec.feed(block)
             except Exception:
                 logger.exception("secondary %s failed", sec.mode)
+        return {"banks": banks, "handles": handles,
+                "fft_pending": fft_pending, "bank_pending": bank_pending}
+
+    def _complete_block(self, pending: dict):
+        banks = pending["banks"]
+        handles = pending["handles"]
+        fft_pending = pending["fft_pending"]
+        bank_pending = pending["bank_pending"]
 
         # waterfall (shared per device, reference owrx/fft.py); rows are
         # compressed ONCE for all subscribers (reference: FftAdpcm inside
@@ -720,7 +758,8 @@ class DeviceRuntime:
                     cb(payload)
         outputs = {}
         for bucket, bank in banks.items():
-            y, aux = bank.program.fetch(*bank_pending[bucket])
+            program, pend = bank_pending[bucket]
+            y, aux = program.fetch(*pend)
             # ONE device→host transfer per bank (whole arrays), then numpy
             # slicing per handle — per-slot eager jax indexing from this
             # thread can wedge against the in-flight donated computation

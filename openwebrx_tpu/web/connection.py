@@ -670,7 +670,8 @@ class MapConnection:
         await self.ws.send_text(json.dumps({"type": "config", "value": {
             k: config.get(k) for k in
             ("google_maps_api_key", "receiver_gps", "map_position_retention_time",
-             "map_call_retention_time", "map_type", "callsign_url", "vessel_url")
+             "map_call_retention_time", "map_type", "map_tile_url",
+             "callsign_url", "vessel_url")
         }}))
         await self.ws.send_text(json.dumps(
             {"type": "update", "value": Map.shared().full_dump()}))

@@ -67,7 +67,25 @@ def build_router() -> Router:
         return response(200, Metrics.shared().render_prometheus().encode(),
                         "text/plain; version=0.0.4")
 
+    def lookup(request: Request):
+        """Callsign / MMSI / registration lookup for the frontend Lookup
+        panel (reference owrx/lookup.py surface)."""
+        from openwebrx_tpu.core.lookup import HamCallsign, MmsiNumber
+        q = (request.query.get("q") or "").strip()
+        if not q:
+            return json_response({"error": "missing q"}, status=400)
+        if q.isdigit() and len(q) in (7, 8, 9):
+            info = MmsiNumber.parse(q.zfill(9))
+            info["kind"] = "mmsi"
+            return json_response(info)
+        entry = HamCallsign.get_country(q)
+        out = {"kind": "callsign", "query": q}
+        if entry:
+            out["itu_code"], out["country"] = entry
+        return json_response(out)
+
     router.add("/status.json", status)
+    router.add("/api/lookup", lookup)
     router.add("/api/features", features)
     router.add("/metrics.json", metrics)
     router.add("/metrics", metrics_prometheus)
