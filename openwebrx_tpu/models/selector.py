@@ -21,13 +21,37 @@ from openwebrx_tpu.runtime.chain import Chain
 
 
 def plan_decimation(in_rate: float, out_rate: float):
-    """Integer decimation + rational cleanup stage, exactly as the reference
-    Decimator splits it (csdr/chain/selector.py:21-35)."""
+    """Integer decimation + rational cleanup stage.
+
+    The reference Decimator (csdr/chain/selector.py:21-35) maximizes the
+    integer part (cheapest on a CPU running the FIR at the lowest possible
+    intermediate rate), leaving a fractional stage like 1023/1024.  Under
+    jit that denominator becomes a block-divisibility requirement, so here
+    the split minimizes the fractional DENOMINATOR instead: out/in = L/M
+    reduced, the fractional stage is L/m for the smallest divisor m of M
+    with m ≥ L, and the integer stage is M//m.  Same passband (the FIR is
+    designed to the final Nyquist either way); tiny block LCMs.
+    """
     if out_rate > in_rate:
         raise ValueError(f"cannot decimate {in_rate} → {out_rate}")
-    d = int(in_rate // out_rate)
-    frac = Fraction(out_rate * d / in_rate).limit_denominator(10000)
-    return d, frac
+    # exact ratio when the rates are rational (the float division
+    # out/in + limit_denominator can mangle e.g. 125/24576 into 23/4522,
+    # silently shifting the IF rate by ~1 Hz)
+    total = (Fraction(out_rate).limit_denominator(10 ** 6)
+             / Fraction(in_rate).limit_denominator(10 ** 6))
+    if total.denominator > 10 ** 6:
+        total = total.limit_denominator(10000)
+    L, M = total.numerator, total.denominator
+    m = M
+    d = 1
+    while d * d <= M:
+        if M % d == 0:
+            if d >= L:
+                m = min(m, d)
+            if M // d >= L:
+                m = min(m, M // d)
+        d += 1
+    return M // m, Fraction(L, m)
 
 
 class Selector(Chain):

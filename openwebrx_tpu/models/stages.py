@@ -26,6 +26,27 @@ from openwebrx_tpu.ops.formats import Format, StreamSpec
 from openwebrx_tpu.runtime.chain import Stage, Chain, digest
 
 
+def best_chunk(block: int, target: int) -> int:
+    """The divisor of ``block`` closest (log-scale) to ``target``.
+
+    Cadence-type stages (squelch measurement windows, NR hops) chunk their
+    input internally; their cadence is a soft spec (reference "16
+    measurements/s", csdr/chain/selector.py:104), so they adapt to the
+    planned block instead of constraining it — a hard ``divisor()`` from
+    e.g. rate/16 = 15625 = 5⁶ collides with the 2-power denominators of
+    the fractional resamplers and explodes the chain LCM to seconds."""
+    block = int(block)
+    target = max(1, int(target))
+    divs = []
+    d = 1
+    while d * d <= block:
+        if block % d == 0:
+            divs.append(d)
+            divs.append(block // d)
+        d += 1
+    return min(divs, key=lambda v: abs(np.log(v / target)))
+
+
 class OpStage(Stage):
     """Base with ratio/divisor defaults."""
 
@@ -240,11 +261,11 @@ class SquelchStage(OpStage):
         self._level = level_db
 
     def plan(self, in_spec, block):
-        self.window = max(1, int(round(in_spec.rate / self.MEASUREMENTS_PER_S)))
+        # soft cadence: nearest block divisor to rate/16 (see best_chunk —
+        # a hard divisor would explode the chain block LCM)
+        self.window = best_chunk(
+            block, int(round(in_spec.rate / self.MEASUREMENTS_PER_S)))
         return super().plan(in_spec, block)
-
-    def divisor(self, in_spec):
-        return max(1, int(round(in_spec.rate / self.MEASUREMENTS_PER_S)))
 
     def init_state(self, batch_shape=()):
         return squelch.squelch_init(batch_shape)
@@ -415,19 +436,23 @@ class AgcStage(OpStage):
     def __init__(self, profile: agc.AgcProfile = agc.FAST, name: str = "agc"):
         self.name = name
         self.profile = profile
+        self.chunk = agc.CHUNK
 
-    def divisor(self, in_spec):
-        return agc.CHUNK
+    def plan(self, in_spec, block):
+        # soft cadence (see best_chunk): ~50-sample chunks, adapted so the
+        # AGC never constrains the chain's block LCM
+        self.chunk = best_chunk(block, agc.CHUNK)
+        return super().plan(in_spec, block)
 
     def init_state(self, batch_shape=()):
         return agc.agc_init(self.profile, batch_shape)
 
     def apply(self, state, params, x):
-        state, y = agc.agc_apply(state, self.profile, x)
+        state, y = agc.agc_apply(state, self.profile, x, self.chunk)
         return state, y, {}
 
     def signature(self):
-        return ("agc", self.profile)
+        return ("agc", self.profile, self.chunk)
 
 
 # -------------------------------------------------------------- waterfall --
@@ -541,24 +566,26 @@ class NoiseFilterStage(OpStage):
         """Scalar or per-channel array (dB); ≤ −100 disables."""
         self._threshold = threshold_db
 
-    def divisor(self, in_spec):
+    def plan(self, in_spec, block):
+        # soft cadence (see best_chunk): ~5 ms hop, adapted to the block
         from openwebrx_tpu.ops import noisefilter
-        return noisefilter.HOP
+        self.hop = best_chunk(block, noisefilter.DEFAULT_HOP)
+        return super().plan(in_spec, block)
 
     def init_state(self, batch_shape=()):
         from openwebrx_tpu.ops import noisefilter
-        return noisefilter.nr_init(batch_shape)
+        return noisefilter.nr_init(batch_shape, self.hop)
 
     def params(self):
         return jnp.asarray(self._threshold, jnp.float32)
 
     def apply(self, state, params, x):
         from openwebrx_tpu.ops import noisefilter
-        state, y = noisefilter.nr_apply(state, params, x)
+        state, y = noisefilter.nr_apply(state, params, x, self.hop)
         return state, y, {}
 
     def signature(self):
-        return ("noise_filter",)
+        return ("noise_filter", self.hop)
 
 
 class AdpcmEncodeStage(OpStage):

@@ -43,12 +43,16 @@ def agc_init(profile: AgcProfile, batch_shape=()):
             jnp.zeros(batch_shape, jnp.int32))                         # hang counter
 
 
-def agc_apply(state, profile: AgcProfile, x: jnp.ndarray):
-    """x (..., B) float32 (or complex64), B % CHUNK == 0 → same shape out."""
+def agc_apply(state, profile: AgcProfile, x: jnp.ndarray,
+              chunk: int = CHUNK):
+    """x (..., B) float32 (or complex64), B % chunk == 0 → same shape out.
+
+    ``chunk`` is a plan-time soft cadence (AgcStage picks the divisor of
+    its block nearest CHUNK=50), so the AGC never constrains the block LCM."""
     gain, hang = state
     b = x.shape[-1]
-    nchunks = b // CHUNK
-    env = jnp.abs(x).reshape(x.shape[:-1] + (nchunks, CHUNK)).max(axis=-1)
+    nchunks = b // chunk
+    env = jnp.abs(x).reshape(x.shape[:-1] + (nchunks, chunk)).max(axis=-1)
     env = jnp.moveaxis(env, -1, 0)  # (nchunks, ...) scan over time
 
     def step(carry, peak):
@@ -67,7 +71,7 @@ def agc_apply(state, profile: AgcProfile, x: jnp.ndarray):
     gains = jnp.moveaxis(gains, 0, -1)  # (..., nchunks)
     # interpolate gain chunk→sample (hold-with-ramp to avoid zipper noise)
     g_prev = jnp.concatenate([state[0][..., None], gains[..., :-1]], axis=-1)
-    ramp = jnp.arange(CHUNK, dtype=jnp.float32) / CHUNK
+    ramp = jnp.arange(chunk, dtype=jnp.float32) / chunk
     g_samp = g_prev[..., :, None] + (gains - g_prev)[..., :, None] * ramp
     g_samp = g_samp.reshape(x.shape[:-1] + (b,))
     return (gain, hang), (x * g_samp).astype(x.dtype)

@@ -105,17 +105,37 @@ class RdsParser:
 
 
 class EasParser:
-    """EAS SAME headers (reference EasParser): 'EAS: ZCZC-...' lines."""
+    """EAS SAME headers (reference EasParser + vendored dsame3,
+    owrx/toolbox.py:336, owrx/dsame3/dsame.py:278): raw 'ZCZC-...'
+    headers decoded to human-readable alert text (services/eas.py)."""
 
     _RE = re.compile(r"(ZCZC-\w{3}-\w{3}(?:-\d{6})+\+\d{4}-\d{7}-[^-]+-)")
 
     def __init__(self, on_message):
         self.on_message = on_message
+        self._county_db = None
+        path = None
+        try:
+            from openwebrx_tpu.core.config import Config
+            path = Config.get().get("eas_fips_path")
+        except Exception:
+            pass
+        if path:
+            try:
+                from openwebrx_tpu.services.eas import load_county_db
+                self._county_db = load_county_db(path)
+            except OSError:
+                pass
 
     def parse(self, line: bytes):
+        from openwebrx_tpu.services.eas import decode_same
         text = line.decode(errors="replace")
         m = self._RE.search(text)
         if m:
-            self.on_message({"mode": "EAS", "raw": m.group(1)})
+            msg = {"mode": "EAS", "raw": m.group(1)}
+            decoded = decode_same(m.group(1), self._county_db)
+            if decoded:
+                msg.update(decoded)
+            self.on_message(msg)
         elif "NNNN" in text:
             self.on_message({"mode": "EAS", "eom": True})

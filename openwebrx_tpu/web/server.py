@@ -142,6 +142,18 @@ async def main_async(args):
     failed = FeatureDetector().get_failed_requirements("core")
     if failed:
         raise SystemExit(f"missing core requirements: {failed}")
+    # multi-host pod config (BASELINE #5): join the jax.distributed
+    # cluster before any device program compiles.  No-op single-host —
+    # driven by OWRX_COORDINATOR/OWRX_NUM_PROCESSES/OWRX_PROCESS_ID or
+    # the CLI flags (parallel/cluster.py).
+    from openwebrx_tpu.parallel.cluster import init_cluster
+    cluster = init_cluster(getattr(args, "coordinator", None),
+                           getattr(args, "num_processes", None),
+                           getattr(args, "process_id", None))
+    if cluster.num_processes > 1:
+        logger.info("joined cluster: host %d/%d, %d local / %d global chips",
+                    cluster.process_id, cluster.num_processes,
+                    cluster.local_device_count, cluster.global_device_count)
     SdrService.load()
     # boot ordering per reference owrx/__main__.py:138-158: sources →
     # background services → web server
@@ -186,6 +198,12 @@ def main(argv=None):
     parser.add_argument("--sdrs", type=str, default=None,
                         help="JSON file or string with the sdrs config dict")
     parser.add_argument("--loglevel", default="INFO")
+    parser.add_argument("--coordinator", default=None,
+                        help="multi-host: coordinator host:port")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="multi-host: total host count")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="multi-host: this host's index")
     args = parser.parse_args(argv)
     logging.basicConfig(level=args.loglevel,
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")

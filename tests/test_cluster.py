@@ -1,0 +1,103 @@
+"""Multi-host distribution tests (VERDICT r1 item 3 / BASELINE config #5).
+
+A real pod is not available here, so the cluster path is exercised two
+ways (SURVEY §4 implication — multi-device CPU simulation):
+
+1. in-process: DistributedReceiver over the virtual 8-device CPU mesh,
+   parity vs the plain ChannelizedBank;
+2. multi-PROCESS: two subprocesses join via jax.distributed.initialize
+   (gloo CPU collectives), each feeds only its time slab, and both must
+   agree with the single-process checksum — proving the
+   make_array_from_process_local_data ingest + ppermute/all_to_all
+   pipeline works across process boundaries.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import CPU_DEVICES
+
+from openwebrx_tpu.parallel.cluster import (
+    ClusterInfo, DistributedReceiver, _dryrun,
+)
+from openwebrx_tpu.runtime.channelized import ChannelizedBank
+
+M = 8
+
+
+def _reference_checksum():
+    """Single-process, single-device reference for the same dryrun step."""
+    bank = ChannelizedBank(48000.0 * M, M, mode="usb", compression="none",
+                           target_seconds=0.02)
+    for k in range(M):
+        bank.assign(float((k - M // 2) * 48000.0 * 0.9))
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(bank.block)
+         + 1j * rng.standard_normal(bank.block)).astype(np.complex64) * 0.1
+    y, _ = bank.process(x)
+    audio = y[0] if isinstance(y, tuple) else y
+    return float(np.sum(np.abs(np.asarray(audio, np.float32))))
+
+
+def test_distributed_receiver_in_process():
+    check, nchan = _dryrun(ClusterInfo(0, 1, len(CPU_DEVICES),
+                                       len(CPU_DEVICES)),
+                           m=M, devices=CPU_DEVICES)
+    assert nchan == M
+    ref = _reference_checksum()
+    assert abs(check - ref) <= 1e-3 * max(ref, 1.0), (check, ref)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_virtual_cluster():
+    port = _free_port()
+    env = dict(os.environ)
+    # detach the workers from the axon tunnel: fresh CPU-only jax
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "openwebrx_tpu.parallel.cluster",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(p),
+             "--channels", str(M)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True)
+        for p in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("cluster worker timed out")
+        assert p.returncode == 0, err[-2000:]
+        line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        outs.append(json.loads(line))
+    assert {o["process_id"] for o in outs} == {0, 1}
+    for o in outs:
+        assert o["global_devices"] == 8
+        assert o["local_devices"] == 4
+        assert o["owned_channels"] == M // 2
+    # both processes computed the same global result…
+    assert outs[0]["checksum"] == pytest.approx(outs[1]["checksum"], rel=1e-5)
+    # …and it matches the single-process, single-device reference
+    ref = _reference_checksum()
+    assert outs[0]["checksum"] == pytest.approx(ref, rel=1e-3)

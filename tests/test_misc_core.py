@@ -15,7 +15,14 @@ class TestLookup:
         assert HamCallsign.get_country("HB0A") == ("li", "Liechtenstein")
         assert HamCallsign.get_country("W1AW") == ("us", "United States")
         assert HamCallsign.get_country("EA7MJ/P")[1] == "Spain"
-        assert HamCallsign.get_country("ZZZ9ZZ") is None
+        # ZZ… is inside the ZVA–ZZZ Brazil series (full ITU table now)
+        assert HamCallsign.get_country("ZZ2ABC")[1] == "Brazil"
+        assert HamCallsign.get_country("0XYZ") is None   # 0 not allocated
+        assert HamCallsign.get_country("VP8ABC")[1] == "Falkland Islands"
+        assert HamCallsign.get_country("3DA0RS")[1] == "Eswatini"
+        assert HamCallsign.get_country("3D2AB")[1] == "Fiji"
+        assert HamCallsign.get_country("SSN1AB")[1] == "Sudan"
+        assert HamCallsign.get_country("SU1AB")[1] == "Egypt"
 
     def test_mmsi(self):
         out = MmsiNumber.parse("211234567")
