@@ -302,6 +302,10 @@ def bench_config4():
 
 # ---------------------------------------------------------------- config 5 --
 def bench_config5():
+    """End-to-end on device-resident input: every block's results (ADPCM
+    bytes + stride codec state + squelch powers for all 1024 channels) are
+    fetched to host numpy, one-deep pipelined (fetch block N−1 while block
+    N computes — the DeviceRuntime loop's structure)."""
     import jax
     from openwebrx_tpu.runtime.channelized import ChannelizedBank
 
@@ -321,15 +325,23 @@ def bench_config5():
     ]
     jax.block_until_ready(blocks)
 
+    audio_bytes = 0
     for i in range(WARMUP):
         y, aux = bank.process(blocks[i % len(blocks)])
-    jax.block_until_ready(y)
+        audio_bytes += y[0].nbytes
 
     t0 = time.perf_counter()
+    pend = None
     for i in range(BLOCKS5):
-        y, aux = bank.process(blocks[i % len(blocks)])
-    jax.block_until_ready(y)
+        nxt = bank.dispatch(blocks[i % len(blocks)])
+        if pend is not None:
+            y, aux = bank.fetch(*pend)
+            audio_bytes += y[0].nbytes
+        pend = nxt
+    y, aux = bank.fetch(*pend)
+    audio_bytes += y[0].nbytes
     elapsed = time.perf_counter() - t0
+    assert audio_bytes > 0 and isinstance(y[0], np.ndarray)
     return BLOCKS5 * bank.block / elapsed / 1e6
 
 

@@ -62,7 +62,7 @@ class SyncAudioDecoder {
           const dv = new DataView(new Uint8Array(this.syncBuf).buffer);
           this.codec.idx = dv.getInt16(0, true);
           this.codec.pred = dv.getInt16(2, true);
-          this.counter = 1000; this.phase = 2;
+          this.counter = 999; this.phase = 2;   /* 1000 data bytes/frame */
         }
       } else {
         out.push(this.codec.nibble(b & 0x0f), this.codec.nibble(b >> 4));

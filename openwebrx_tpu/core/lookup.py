@@ -384,8 +384,10 @@ def _expand():
         c0 = lo[0]
         assert hi[0] == c0, (lo, hi)
         s_lo, s_hi = lo[1], hi[1]
-        for s in (_LETTERS[_LETTERS.index(s_lo):_LETTERS.index(s_hi) + 1]
-                  if s_lo in _LETTERS else [s_lo]):
+        # the second character ranges over letters OR digits (digit-ranged
+        # series like L2A–L9Z / Y2A–Y9Z are common in the ITU table)
+        seq = _LETTERS if s_lo in _LETTERS else "0123456789"
+        for s in seq[seq.index(s_lo):seq.index(s_hi) + 1]:
             t_lo = lo[2] if s == s_lo else "A"
             t_hi = hi[2] if s == s_hi else "Z"
             if t_lo == "A" and t_hi == "Z":
@@ -548,8 +550,9 @@ class MmsiNumber:
             out["type"] = "invalid"
             return out
         if mmsi.startswith("970"):
+            # digits 4-6 are a manufacturer ID (ITU-R M.585), not a MID
             out["type"] = "AIS SART"
-            mid = int(mmsi[3:6])
+            mid = None
         elif mmsi.startswith("972"):
             out["type"] = "man overboard device"
             mid = None

@@ -83,6 +83,7 @@ class ShiftStage(OpStage):
     def set_rate(self, rate):
         """Scalar or per-channel array of normalized rates."""
         self._rate = rate
+        self._bump()
 
     def init_state(self, batch_shape=()):
         return nco.shift_init(batch_shape)
@@ -192,6 +193,7 @@ class BandpassStage(OpStage):
         own passband; the response param becomes (C, nfft))."""
         self._low = np.asarray(low_cut_hz, np.float64)
         self._high = np.asarray(high_cut_hz, np.float64)
+        self._bump()
         if hasattr(self, "in_spec"):  # pre-plan: plan() will compute it
             self._recompute()
 
@@ -213,10 +215,8 @@ class BandpassStage(OpStage):
         lo = np.clip(np.atleast_1d(self._low) / rate, -0.4999, 0.4999)
         hi = np.clip(np.atleast_1d(self._high) / rate,
                      lo + self.transition, 0.49999)
-        rows = np.stack([
-            firdes.bandpass_response(float(l), float(h), self.transition, self.nfft)
-            for l, h in zip(lo, hi)
-        ])
+        rows = firdes.bandpass_response_batch(lo, hi, self.transition,
+                                              self.nfft)
         self._response = rows[0] if self._low.ndim == 0 else rows
         self._response_packed = None     # device cache, rebuilt lazily
 
@@ -259,6 +259,7 @@ class SquelchStage(OpStage):
     def set_level(self, level_db):
         """Scalar or per-channel array of thresholds (dB)."""
         self._level = level_db
+        self._bump()
 
     def plan(self, in_spec, block):
         # soft cadence: nearest block divisor to rate/16 (see best_chunk —
@@ -373,6 +374,7 @@ class GainStage(OpStage):
 
     def set_gain(self, g: float):
         self._g = float(g)
+        self._bump()
 
     def params(self):
         return jnp.float32(self._g)
@@ -561,10 +563,13 @@ class NoiseFilterStage(OpStage):
 
     def __init__(self, threshold_db=-100.0):
         self._threshold = threshold_db
+        from openwebrx_tpu.ops import noisefilter
+        self.hop = noisefilter.DEFAULT_HOP   # plan() adapts to the block
 
     def set_threshold(self, threshold_db):
         """Scalar or per-channel array (dB); ≤ −100 disables."""
         self._threshold = threshold_db
+        self._bump()
 
     def plan(self, in_spec, block):
         # soft cadence (see best_chunk): ~5 ms hop, adapted to the block
@@ -591,13 +596,18 @@ class NoiseFilterStage(OpStage):
 class AdpcmEncodeStage(OpStage):
     """IMA ADPCM encode (reference AdpcmEncoder(sync=True),
     csdr/chain/clientaudio.py:34).  Input float [−1,1]; output y is a tuple
-    (bytes uint8 (..., B/2), predictors, step_indices) — the host SyncFramer
-    splices sync headers."""
+    (bytes uint8 (..., B/2), stride_states int32 (..., B/16)) — the codec
+    state after every STATE_STRIDE-th byte, packed (pred << 16) | index,
+    which is exactly what the host SyncFramer needs to splice sync headers
+    (cuts land only on stride multiples).  Per-byte codec state never
+    leaves the device (it was 80 % of the audio readback volume)."""
 
     name = "adpcm"
 
     def divisor(self, in_spec):
-        return 2
+        # bytes (B/2) must be a multiple of STATE_STRIDE for the state
+        # export (and of 4 for the int32 boundary packing)
+        return 2 * adpcm.STATE_STRIDE
 
     def ratio(self, in_spec):
         return Fraction(1, 2)

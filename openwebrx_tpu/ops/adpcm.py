@@ -69,11 +69,18 @@ def _bit(nib, diff, delta, stepval, bit):
     return nib, diff, delta
 
 
-def adpcm_encode(state, samples: jnp.ndarray):
-    """Encode int16-range samples (..., 2N) → bytes (..., N) uint8.
+STATE_STRIDE = 8   # codec-state export granularity (bytes)
 
-    Also returns per-byte codec state (predictor, index) AFTER each byte,
-    shape (..., N) each, so the host can snapshot state at sync boundaries.
+
+def adpcm_encode(state, samples: jnp.ndarray):
+    """Encode int16-range samples (..., 2N) → (new_state, (bytes, stride)).
+
+    bytes: (..., N) uint8.  stride: (..., N/8) int32 — the codec state
+    AFTER every STATE_STRIDE-th byte, packed as (predictor << 16) | index.
+    The host SyncFramer cuts sync frames only at stride multiples (the
+    sync interval is a stride multiple), so this is all the state it needs
+    — exporting full per-byte state was 80 % of the audio readback volume.
+    Requires N % STATE_STRIDE == 0 (AdpcmEncodeStage.divisor).
     """
     x = jnp.moveaxis(samples.astype(jnp.int32), -1, 0)  # (2N, ...)
     pairs = x.reshape(x.shape[0] // 2, 2, *x.shape[1:])
@@ -82,11 +89,23 @@ def adpcm_encode(state, samples: jnp.ndarray):
         carry, lo = _encode_nibble(carry, pair[0])
         carry, hi = _encode_nibble(carry, pair[1])
         byte = (lo | (hi << 4)).astype(jnp.uint8)
-        return carry, (byte, carry[0], carry[1])
+        packed = (carry[0] << 16) | (carry[1] & 0xFFFF)
+        return carry, (byte, packed)
 
-    state, (bytes_, preds, idxs) = jax.lax.scan(step, state, pairs)
-    out = tuple(jnp.moveaxis(a, 0, -1) for a in (bytes_, preds, idxs))
-    return state, out
+    state, (bytes_, packed) = jax.lax.scan(step, state, pairs)
+    stride = packed[STATE_STRIDE - 1::STATE_STRIDE]
+    return state, (jnp.moveaxis(bytes_, 0, -1), jnp.moveaxis(stride, 0, -1))
+
+
+def pack_codec_state(pred, idx):
+    """(predictor, index) → packed int32 (host or traced)."""
+    return (pred << 16) | (idx & 0xFFFF)
+
+
+def unpack_codec_state(packed: int) -> tuple[int, int]:
+    """Packed int32 → (predictor, step index) on host."""
+    v = np.int32(packed)
+    return int(v >> 16), int(v & 0xFFFF)
 
 
 def adpcm_decode_np(data: bytes, state=(0, 0)):
@@ -128,39 +147,64 @@ def compress_fft_rows(rows_db: np.ndarray):
     samples = np.clip(rows_db * 100.0, -32768, 32767).astype(np.int16)
     pad = np.repeat(samples[:, :1], COMPRESS_FFT_PAD_N, axis=1)
     padded = np.concatenate([pad, samples], axis=1)
-    if padded.shape[1] % 2:
-        padded = np.concatenate([padded, padded[:, -1:]], axis=1)
-    _, (bytes_, _, _) = _encode_jit(adpcm_init((r,)), padded)
-    arr = np.asarray(bytes_)
-    return [arr[i].tobytes() for i in range(r)]
+    # pad the SAMPLE count so the byte count is a multiple of 4 (the
+    # encoder emits int32 words — see _encode_jit); extra trailing bytes
+    # are trimmed before hitting the wire
+    nbytes = (padded.shape[1] + 1) // 2
+    extra = (-padded.shape[1]) % 8
+    if extra:
+        padded = np.concatenate(
+            [padded, np.repeat(padded[:, -1:], extra, axis=1)], axis=1)
+    words = _encode_jit(adpcm_init((r,)), padded)
+    try:
+        words.copy_to_host_async()   # avoid a blocking round trip (tunnel)
+    except (AttributeError, RuntimeError):
+        pass
+    arr = np.asarray(words).view(np.uint8)
+    return [arr[i, :nbytes].tobytes() for i in range(r)]
 
 
 # calling adpcm_encode eagerly would re-trace (and re-compile) the scan on
-# EVERY block — route all host-side encoding through one cached jit
+# EVERY block — route all host-side encoding through one cached jit.  The
+# bytes leave the device as int32 words: sub-word device→host transfers
+# are pathologically slow on tunnel transports (runtime/chain.py
+# "boundary codecs").
 @jax.jit
 def _encode_jit(state, samples):
-    return adpcm_encode(state, samples)
+    _, (bytes_, _stride) = adpcm_encode(state, samples)
+    return jax.lax.bitcast_convert_type(
+        bytes_.reshape(bytes_.shape[:-1] + (bytes_.shape[-1] // 4, 4)),
+        jnp.int32)
 
 
-SYNC_INTERVAL = 1001  # data bytes per sync frame (see AudioEngine.js:449-487)
+# data bytes per sync frame (see AudioEngine.js SyncAudioDecoder) — a
+# multiple of STATE_STRIDE so every cut lands on an exported-state boundary
+SYNC_INTERVAL = 1000
 
 
 class SyncFramer:
     """Host-side sync framing: splice "SYNC"+state headers into the encoded
-    byte stream every SYNC_INTERVAL bytes, reseeding the decoder."""
+    byte stream every SYNC_INTERVAL bytes, reseeding the client decoder.
+
+    Cut positions are always multiples of STATE_STRIDE (block byte counts
+    and SYNC_INTERVAL both are), so the stride-subsampled codec state from
+    ``adpcm_encode`` covers every possible header position exactly."""
 
     def __init__(self):
         self.since_sync = SYNC_INTERVAL  # ⇒ emit a sync header immediately
-        self._last = (0, 0)              # codec state at end of previous call
+        self._carry = 0                  # packed state at end of prev block
 
-    def frame(self, bytes_: np.ndarray, preds: np.ndarray, idxs: np.ndarray) -> bytes:
+    def frame(self, bytes_: np.ndarray, stride_states: np.ndarray) -> bytes:
+        """bytes_: this block's encoded bytes (multiple of STATE_STRIDE);
+        stride_states: packed int32, codec state after bytes 8, 16, …"""
         out = bytearray()
         n = len(bytes_)
         pos = 0
         while pos < n:
             if self.since_sync >= SYNC_INTERVAL:
-                # codec state just BEFORE byte pos
-                pred, idx = self._last if pos == 0 else (int(preds[pos - 1]), int(idxs[pos - 1]))
+                packed = self._carry if pos == 0 else int(
+                    stride_states[pos // STATE_STRIDE - 1])
+                pred, idx = unpack_codec_state(packed)
                 out += b"SYNC" + np.array([idx, pred], "<i2").tobytes()
                 self.since_sync = 0
             take = min(n - pos, SYNC_INTERVAL - self.since_sync)
@@ -168,5 +212,5 @@ class SyncFramer:
             pos += take
             self.since_sync += take
         if n:
-            self._last = (int(preds[-1]), int(idxs[-1]))
+            self._carry = int(stride_states[-1])
         return bytes(out)

@@ -99,6 +99,31 @@ def bandpass_ntaps(transition_bw: float) -> int:
     return _odd(max(9, int(np.ceil(4.0 / transition_bw))))
 
 
+def bandpass_response_batch(low_cut, high_cut, transition_bw: float,
+                            nfft: int, window: str = "hamming") -> np.ndarray:
+    """Vectorized ``bandpass_response`` over per-channel edge arrays.
+
+    One numpy broadcast + one batched FFT instead of C python-loop design
+    calls — a 1024-channel bank re-designs all passbands in milliseconds
+    when its control arrays change (BandpassStage._recompute).
+    Returns (C, nfft) complex64; rows match bandpass_response exactly.
+    """
+    low = np.atleast_1d(np.asarray(low_cut, np.float64))
+    high = np.atleast_1d(np.asarray(high_cut, np.float64))
+    if np.any(low >= high) or np.any(low <= -0.5) or np.any(high >= 0.5):
+        raise ValueError("need -0.5 < low < high < 0.5 for every channel")
+    ntaps = bandpass_ntaps(transition_bw)
+    n = np.arange(ntaps) - (ntaps - 1) / 2
+    bw2 = (high - low) / 2
+    center = (high + low) / 2
+    cut = np.maximum(bw2, transition_bw / 2 + 1e-6)[:, None]
+    h = 2 * cut * np.sinc(2 * cut * n)
+    h *= _window(window, ntaps)
+    h /= h.sum(axis=-1, keepdims=True)
+    taps = (h * np.exp(2j * np.pi * center[:, None] * n)).astype(np.complex64)
+    return np.fft.fft(taps, nfft, axis=-1).astype(np.complex64)
+
+
 def _window(kind: str, n: int) -> np.ndarray:
     if kind == "hamming":
         return np.hamming(n)

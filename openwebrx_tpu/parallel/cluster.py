@@ -143,7 +143,9 @@ class DistributedReceiver:
         cost a cross-host broadcast per step (measured 5× slowdown on the
         2-process bench)."""
         import jax
-        self._params = jax.tree.map(self._put, self.bank.chain.params())
+        # bank._params() pushes any dirty control arrays into the chain
+        # before materializing (runtime/channelized.py deferred push)
+        self._params = jax.tree.map(self._put, self.bank._params())
         self._params_version = self._bank_version()
         return self._params
 

@@ -75,7 +75,9 @@ def shard_channelized_bank(bank, mesh: Mesh, chan_axis: str = "chan"):
     stepj = jax.jit(step, donate_argnums=(0,))
 
     def run(state, x):
-        params = jax.tree.map(put, chain.params())
+        # bank._params() pushes any dirty control arrays into the chain and
+        # re-materializes only on change (runtime/channelized.py)
+        params = jax.tree.map(put, bank._params())
         import numpy as _np
         if _np.iscomplexobj(x):
             x = host_pack_complex(_np.asarray(x))

@@ -16,6 +16,13 @@ Stage lifecycle:
 ``signature()`` must capture ALL static configuration (tap digests
 included) — it keys the jit cache, so two structurally identical chains
 share one compiled program.
+
+Params are *versioned*: every live setter bumps its stage's version, and a
+Program re-materializes (and re-uploads) the param pytree only when the
+chain's aggregate version changed.  Without this, every block dispatch
+would rebuild every traced param — a handful of host→device RPCs per block
+that dominates the step time over a tunnel-attached TPU (measured 10× on
+BASELINE config #5).
 """
 
 from __future__ import annotations
@@ -44,6 +51,7 @@ class Stage(abc.ABC):
     """A pure block-processing stage."""
 
     name: str = ""
+    _pver: int = 0      # params version — bumped by live setters
 
     @abc.abstractmethod
     def plan(self, in_spec: StreamSpec, block: int) -> tuple[StreamSpec, int]:
@@ -54,6 +62,13 @@ class Stage(abc.ABC):
 
     def params(self):
         return ()
+
+    def _bump(self):
+        """Mark params dirty (call from every live setter)."""
+        self._pver += 1
+
+    def params_version(self) -> int:
+        return self._pver
 
     @abc.abstractmethod
     def apply(self, state, params, x):
@@ -81,18 +96,22 @@ class Chain(Stage):
     def replace(self, index: int, stage: Stage):
         self.workers[index] = stage
         self._planned = False
+        self._bump()
 
     def insert(self, index: int, stage: Stage):
         self.workers.insert(index, stage)
         self._planned = False
+        self._bump()
 
     def remove(self, index: int):
         del self.workers[index]
         self._planned = False
+        self._bump()
 
     def append(self, stage: Stage):
         self.workers.append(stage)
         self._planned = False
+        self._bump()
 
     def index_of(self, pred) -> int:
         for i, w in enumerate(self.workers):
@@ -114,6 +133,9 @@ class Chain(Stage):
     def params(self):
         return tuple(w.params() for w in self.workers)
 
+    def params_version(self) -> int:
+        return self._pver + sum(w.params_version() for w in self.workers)
+
     def apply(self, state, params, x):
         new_state = []
         aux = {}
@@ -132,19 +154,45 @@ class Chain(Stage):
 _PROGRAM_CACHE: dict[tuple, callable] = {}
 
 
-# --------------------------------------------------- complex boundary ----
-# Some TPU attachment backends (the axon tunnel in particular) cannot
-# create, transfer, or carry complex64 BUFFERS across a jit boundary —
-# complex compute inside a compiled program is fine, but complex jit
-# inputs, outputs, carried state, eagerly created complex arrays, and
-# hoisted complex array constants all fail with UNIMPLEMENTED.  Programs
-# therefore speak float32 at every boundary: complex leaves are packed as
-# (..., 2) float32 (re, im) on the way out and rebuilt with lax.complex
-# on the way in.  This costs one fused stack/slice per boundary and makes
-# every program portable across backends.
+# --------------------------------------------------- boundary codecs -----
+# Two classes of array cannot cross the jit boundary efficiently (or at
+# all) on tunnel-attached TPU backends (the axon tunnel in particular):
+#
+#  * complex64 buffers fail outright with UNIMPLEMENTED — complex compute
+#    INSIDE a program is fine, but complex jit inputs/outputs/carried
+#    state cannot exist as device buffers.  Complex leaves are packed as
+#    (..., 2) float32 (re, im) at the boundary and rebuilt with
+#    lax.complex inside.
+#
+#  * sub-word dtypes (uint8/int8/int16/uint16) transfer device→host
+#    through a pathological path: the first fetch of a large sub-word
+#    array takes SECONDS TO MINUTES (measured 75–155 s for ~300 kB) while
+#    the same bytes as int32 move in milliseconds.  Output leaves of these
+#    dtypes are therefore bitcast to int32 lanes inside the program (last
+#    axis padded to a lane multiple) and viewed back to the original
+#    dtype/shape on the host — an exact, zero-copy reinterpretation.
+#
+# Leaf codecs are described per output tree position:
+#   None                     pass through
+#   "c"                      complex64 ↔ (..., 2) float32
+#   ("w", dtype_str, n)      sub-word ↔ int32 lanes; n = original last dim
+
+_SUBWORD = {"uint8": 4, "int8": 4, "int16": 2, "uint16": 2}
+
+
+def _leaf_codec(aval):
+    """Boundary codec descriptor for one output leaf aval."""
+    if jnp.issubdtype(aval.dtype, jnp.complexfloating):
+        return "c"
+    name = np.dtype(aval.dtype).name
+    if name in _SUBWORD:
+        n = aval.shape[-1] if aval.ndim else 1
+        return ("w", name, int(n))
+    return None
+
 
 def _pack_leaf(v):
-    """Inside jit: complex leaf → (..., 2) float32."""
+    """Inside jit: complex leaf → (..., 2) float32 (state/output packing)."""
     if jnp.iscomplexobj(v):
         return jnp.stack([jnp.real(v), jnp.imag(v)], axis=-1)
     return v
@@ -154,6 +202,34 @@ def _unpack_leaf(v, was_complex: bool):
     """Inside jit: packed (..., 2) float32 → complex64."""
     if was_complex:
         return jax.lax.complex(v[..., 0], v[..., 1])
+    return v
+
+
+def _encode_out_leaf(v, codec):
+    """Inside jit: encode one OUTPUT leaf for the boundary."""
+    if codec == "c":
+        return _pack_leaf(v)
+    if isinstance(codec, tuple) and codec[0] == "w":
+        lane = _SUBWORD[codec[1]]
+        x = jnp.atleast_1d(v)
+        n = x.shape[-1]
+        pad = (-n) % lane
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+        x = x.reshape(x.shape[:-1] + (x.shape[-1] // lane, lane))
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+    return v
+
+
+def _decode_out_leaf(v, codec):
+    """Host side: decode one fetched OUTPUT leaf (np arrays in/out)."""
+    if codec == "c":
+        return host_unpack_complex(v)
+    if isinstance(codec, tuple) and codec[0] == "w":
+        _, name, n = codec
+        a = np.ascontiguousarray(np.asarray(v))
+        return a.view(np.dtype(name))[..., :n]
     return v
 
 
@@ -173,6 +249,20 @@ def host_unpack_complex(v) -> np.ndarray:
     return a.view(np.complex64)[..., 0]
 
 
+def fetch_tree(tree):
+    """Fetch a pytree of device arrays to host with async prefetch: issue
+    every copy first (they stream in parallel), then gather.  ALWAYS use
+    this instead of bare np.asarray on fresh device arrays — a synchronous
+    fetch serializes one RPC round trip per leaf over a tunnel transport."""
+    leaves = jax.tree.leaves(tree)
+    for leaf in leaves:
+        try:
+            leaf.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+    return jax.tree.map(np.asarray, tree)
+
+
 class Program:
     """A chain compiled against (in_spec, block, batch_shape): owns the
     streaming state and the jitted step."""
@@ -186,14 +276,16 @@ class Program:
         self.out_spec, self.out_block = chain.plan(in_spec, block)
         self._in_complex = bool(in_spec.format.is_complex)
         params0 = chain.params()
+        self._params_cache = params0
+        self._params_ver = chain.params_version()
         x_aval = jax.ShapeDtypeStruct(
             (block,), np.complex64 if self._in_complex else np.float32)
         s_aval = jax.eval_shape(lambda: chain.init_state(batch_shape))
         _, y_aval, aux_aval = jax.eval_shape(chain.apply, s_aval, params0,
                                              x_aval)
         self._s_mask = jax.tree.map(_is_complex_aval, s_aval)
-        self._y_mask = jax.tree.map(_is_complex_aval, y_aval)
-        self._aux_mask = jax.tree.map(_is_complex_aval, aux_aval)
+        self._y_codec = jax.tree.map(_leaf_codec, y_aval)
+        self._aux_codec = jax.tree.map(_leaf_codec, aux_aval)
         # complex state buffers can't be created eagerly on the tunnel —
         # build them inside a jit that returns the packed representation
         self.state = jax.jit(
@@ -209,17 +301,27 @@ class Program:
         step = _PROGRAM_CACHE.get(key)
         if step is None:
             s_mask, in_complex = self._s_mask, self._in_complex
+            y_codec, aux_codec = self._y_codec, self._aux_codec
 
             def _step(pstate, params, px):
                 state = jax.tree.map(_unpack_leaf, pstate, s_mask)
                 x = _unpack_leaf(px, in_complex)
                 new_state, y, aux = chain.apply(state, params, x)
                 return (jax.tree.map(_pack_leaf, new_state),
-                        jax.tree.map(_pack_leaf, y),
-                        jax.tree.map(_pack_leaf, aux))
+                        jax.tree.map(_encode_out_leaf, y, y_codec),
+                        jax.tree.map(_encode_out_leaf, aux, aux_codec))
             step = jax.jit(_step, donate_argnums=(0,) if donate_state else ())
             _PROGRAM_CACHE[key] = step
         self._step = step
+
+    def _params(self):
+        """Current param pytree, re-materialized only when a setter bumped
+        the chain's params version (see module docstring)."""
+        v = self.chain.params_version()
+        if v != self._params_ver:
+            self._params_cache = self.chain.params()
+            self._params_ver = v
+        return self._params_cache
 
     def pack_input(self, x):
         """Host complex block → packed (block, 2) float32, validated.  The
@@ -249,7 +351,7 @@ class Program:
         program of a device first, then fetch() — JAX's async dispatch then
         overlaps the device work and transfers instead of serializing a
         round trip per program."""
-        self.state, yp, auxp = self._step(self.state, self.chain.params(),
+        self.state, yp, auxp = self._step(self.state, self._params(),
                                           self.pack_input(x))
         # start device→host copies NOW: over a tunnel-attached TPU each
         # np.asarray is a serial RPC; initiating all copies async here lets
@@ -263,12 +365,10 @@ class Program:
 
     def fetch(self, yp, auxp):
         """Unpack a dispatch() result: complex outputs come back as np
-        complex64 (fetched); real outputs stay device arrays."""
-        y = jax.tree.map(
-            lambda v, c: host_unpack_complex(v) if c else v, yp, self._y_mask)
-        aux = jax.tree.map(
-            lambda v, c: host_unpack_complex(v) if c else v, auxp,
-            self._aux_mask)
+        complex64, sub-word outputs as their original dtype/shape (both
+        fetched); word-sized real outputs stay device arrays."""
+        y = jax.tree.map(_decode_out_leaf, yp, self._y_codec)
+        aux = jax.tree.map(_decode_out_leaf, auxp, self._aux_codec)
         return y, aux
 
     def process(self, x):

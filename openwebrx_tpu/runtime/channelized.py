@@ -20,7 +20,10 @@ from openwebrx_tpu.models.receiver import ClientDemodulatorChain, MODE_BANDPASS
 from openwebrx_tpu.models.stages import plan_block_size
 from openwebrx_tpu.ops import channelizer as pfb
 from openwebrx_tpu.ops.formats import Format, StreamSpec
-from openwebrx_tpu.runtime.chain import digest
+from openwebrx_tpu.runtime.chain import (
+    digest, host_pack_complex, _decode_out_leaf, _encode_out_leaf,
+    _is_complex_aval, _leaf_codec, _pack_leaf, _unpack_leaf,
+)
 
 
 class ChannelizedBank:
@@ -28,6 +31,13 @@ class ChannelizedBank:
 
     (Mixed modes → one ChannelizedBank per mode bucket, same trade as
     ChannelBank.)
+
+    Streaming API mirrors Program: ``dispatch()`` launches a block and
+    starts the device→host result copies without blocking; ``fetch()``
+    decodes them; ``process()`` = fetch(dispatch()).  Params (fine shifts,
+    squelch levels, passbands) are version-cached — control changes mark
+    them dirty, the next dispatch re-materializes once (runtime/chain.py
+    module docstring: per-block param rebuilds dominate tunnel dispatch).
     """
 
     def __init__(self, in_rate: float, m: int, mode: str = "usb",
@@ -52,14 +62,9 @@ class ChannelizedBank:
         lo, hi = MODE_BANDPASS[mode]
         self._low = np.full(self.m, float(lo))
         self._high = np.full(self.m, float(hi))
-        self._push_params()
-
-        # complex buffers can't cross the jit boundary on tunnel backends
-        # (runtime/chain.py "complex boundary"): state is created packed
-        # inside a jit, inputs/outputs are packed float32
-        from openwebrx_tpu.runtime.chain import (
-            _is_complex_aval, _pack_leaf, _unpack_leaf,
-        )
+        self._params_dirty = True
+        self._params_cache = None
+        params0 = self._params()    # production (M,)-shaped param arrays
 
         def _init():
             return (pfb.channelizer_init(self.m, taps_per_phase),
@@ -69,9 +74,9 @@ class ChannelizedBank:
         self._s_mask = jax.tree.map(_is_complex_aval, s_aval)
         x_aval = jax.ShapeDtypeStruct((self.block,), np.complex64)
         _, y_aval, aux_aval = jax.eval_shape(
-            self._raw_step, s_aval, self.chain.params(), x_aval)
-        self._y_mask = jax.tree.map(_is_complex_aval, y_aval)
-        self._aux_mask = jax.tree.map(_is_complex_aval, aux_aval)
+            self._raw_step, s_aval, params0, x_aval)
+        self._y_codec = jax.tree.map(_leaf_codec, y_aval)
+        self._aux_codec = jax.tree.map(_leaf_codec, aux_aval)
         self.state = jax.jit(
             lambda: jax.tree.map(_pack_leaf, _init()))()
         self._step = jax.jit(self._make_step(), donate_argnums=(0,))
@@ -83,16 +88,16 @@ class ChannelizedBank:
         return (tail, chain_state), y, aux
 
     def _make_step(self):
-        from openwebrx_tpu.runtime.chain import _pack_leaf, _unpack_leaf
         s_mask, raw = self._s_mask, self._raw_step
+        y_codec, aux_codec = self._y_codec, self._aux_codec
 
         def step(pstate, params, px):
             state = jax.tree.map(_unpack_leaf, pstate, s_mask)
             x = _unpack_leaf(px, True)
             new_state, y, aux = raw(state, params, x)
             return (jax.tree.map(_pack_leaf, new_state),
-                    jax.tree.map(_pack_leaf, y),
-                    jax.tree.map(_pack_leaf, aux))
+                    jax.tree.map(_encode_out_leaf, y, y_codec),
+                    jax.tree.map(_encode_out_leaf, aux, aux_codec))
 
         return step
 
@@ -110,34 +115,48 @@ class ChannelizedBank:
         self._active[k] = True
         self._fine[k] = fine
         self._squelch[k] = squelch_db
-        self._push_params()
+        self._params_dirty = True
         return k
 
     def release(self, k: int):
         self._active[k] = False
         self._fine[k] = 0.0
-        self._push_params()
+        self._params_dirty = True
 
     def set_bandpass(self, k: int, low_hz: float, high_hz: float):
         self._low[k], self._high[k] = low_hz, high_hz
-        self._push_params()
+        self._params_dirty = True
 
     @property
     def active_channels(self) -> np.ndarray:
         return np.flatnonzero(self._active)
 
+    def _params(self):
+        """Push control arrays into the chain and (re-)materialize the
+        param pytree only when something changed since the last dispatch."""
+        if self._params_dirty or self._params_cache is None:
+            self.chain.selector.shift.set_rate(-self._fine / self.channel_rate)
+            self.chain.selector.squelch.set_level(self._squelch)
+            self.chain.selector.set_bandpass(self._low, self._high)
+            self._params_cache = self.chain.params()
+            self._params_dirty = False
+        return self._params_cache
+
+    # kept for callers that force-push controls (older API)
     def _push_params(self):
-        self.chain.selector.shift.set_rate(-self._fine / self.channel_rate)
-        self.chain.selector.squelch.set_level(self._squelch)
-        self.chain.selector.set_bandpass(self._low, self._high)
+        self._params_dirty = True
+        self._params()
 
     # ------------------------------------------------------------- stream --
-    def process(self, iq_block: np.ndarray):
+    def pack_input(self, iq_block: np.ndarray) -> np.ndarray:
+        """Host complex block → the packed float32 form dispatch() accepts
+        (use with jax.device_put to stage benchmark input in HBM)."""
+        return host_pack_complex(np.asarray(iq_block))
+
+    def dispatch(self, iq_block):
         """iq_block (block,) complex64 (np) or packed (block, 2) float32
-        (np or device-resident) → (audio (M, out), aux)."""
-        from openwebrx_tpu.runtime.chain import (
-            host_pack_complex, host_unpack_complex,
-        )
+        (np or device-resident) → in-flight packed (yp, auxp) device trees,
+        with device→host copies already streaming."""
         if np.iscomplexobj(iq_block):
             if iq_block.shape[-1] != self.block:
                 raise ValueError(
@@ -148,20 +167,24 @@ class ChannelizedBank:
             raise ValueError(
                 f"expected {self.block} complex samples (or packed "
                 f"({self.block}, 2) float32), got {iq_block.shape}")
-        self.state, yp, auxp = self._step(self.state, self.chain.params(),
-                                          iq_block)
-        y = jax.tree.map(
-            lambda v, c: host_unpack_complex(v) if c else v, yp, self._y_mask)
-        aux = jax.tree.map(
-            lambda v, c: host_unpack_complex(v) if c else v, auxp,
-            self._aux_mask)
+        self.state, yp, auxp = self._step(self.state, self._params(), iq_block)
+        for leaf in jax.tree.leaves((yp, auxp)):
+            try:
+                leaf.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+        return yp, auxp
+
+    def fetch(self, yp, auxp):
+        """Decode a dispatch() result (complex → np complex64, sub-word →
+        original dtype; word-sized real leaves stay device arrays)."""
+        y = jax.tree.map(_decode_out_leaf, yp, self._y_codec)
+        aux = jax.tree.map(_decode_out_leaf, auxp, self._aux_codec)
         return y, aux
 
-    def pack_input(self, iq_block: np.ndarray) -> np.ndarray:
-        """Host complex block → the packed float32 form process() accepts
-        (use with jax.device_put to stage benchmark input in HBM)."""
-        from openwebrx_tpu.runtime.chain import host_pack_complex
-        return host_pack_complex(np.asarray(iq_block))
+    def process(self, iq_block):
+        """One block, synchronous: → (audio (M, out), aux)."""
+        return self.fetch(*self.dispatch(iq_block))
 
     def signature(self):
         return ("channelized", self.m, self.mode, self.channel_block,

@@ -781,8 +781,9 @@ class DeviceRuntime:
             if handle.audio_cb is not None:
                 bank_comp = banks[handle.bucket_key].compression
                 if bank_comp == "adpcm":
-                    b, p, i = (a[handle.slot] for a in y_np)
-                    wire = handle.framer.frame(b, p, i)
+                    bytes_, stride_states = y_np
+                    wire = handle.framer.frame(bytes_[handle.slot],
+                                               stride_states[handle.slot])
                 else:
                     wire = y_np[handle.slot].tobytes()
                 handle.audio_cb(wire, handle.bucket_key.endswith("wfm"))

@@ -206,6 +206,10 @@ def _alert_times(jjjhhmm: str, tttt: str, now: datetime | None = None):
 
 
 def severity_of(eee: str) -> str:
+    # national activations outrank the name-suffix heuristic: EAN/EAT are
+    # the highest-priority events, CEM is emergency-class (47 CFR 11.31)
+    if eee in ("EAN", "EAT", "CEM"):
+        return "emergency"
     name = EVENTS.get(eee, "")
     for word in ("Warning", "Watch", "Emergency", "Statement"):
         if name.endswith(word):

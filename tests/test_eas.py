@@ -70,7 +70,9 @@ def test_severity_classes():
     assert severity_of("TOA") == "watch"
     assert severity_of("LAE") == "emergency"
     assert severity_of("FLS") == "statement"
-    assert severity_of("CEM") == "advisory"   # "…Message" — not classed
+    assert severity_of("CEM") == "emergency"  # civil emergency, special-cased
+    assert severity_of("EAN") == "emergency"   # national activation outranks
+    assert severity_of("EAT") == "emergency"   # the name-suffix heuristic
     assert severity_of("ADR") == "advisory"
 
 

@@ -13,6 +13,12 @@ class TestLookup:
         assert HamCallsign.get_country("DL1ABC") == ("de", "Germany")
         assert HamCallsign.get_country("HB9XYZ") == ("ch", "Switzerland")
         assert HamCallsign.get_country("HB0A") == ("li", "Liechtenstein")
+        # digit-ranged ITU series (second char a digit): L2A-L9Z etc.
+        assert HamCallsign.get_country("L9XYZ") == ("ar", "Argentina")
+        assert HamCallsign.get_country("Y5ABC") == ("de", "Germany")
+        assert HamCallsign.get_country("P9AA")[1] == "North Korea"
+        assert HamCallsign.get_country("D9AA")[1] == "South Korea"
+        assert HamCallsign.get_country("C9AA")[1] == "Mozambique"
         assert HamCallsign.get_country("W1AW") == ("us", "United States")
         assert HamCallsign.get_country("EA7MJ/P")[1] == "Spain"
         # ZZ… is inside the ZVA–ZZZ Brazil series (full ITU table now)
@@ -30,6 +36,9 @@ class TestLookup:
         assert MmsiNumber.parse("002320001")["type"] == "coast station"
         assert MmsiNumber.parse("111232001")["type"] == "SAR aircraft"
         assert MmsiNumber.parse("abc")["type"] == "invalid"
+        # 970xxxxxx: digits 4-6 are a manufacturer ID, never a country MID
+        sart = MmsiNumber.parse("970211234")
+        assert sart["type"] == "AIS SART" and sart.get("country") is None
 
 
 class TestGps:

@@ -103,7 +103,7 @@ class TestAdpcm:
         state = adpcm.adpcm_init()
         samples = (audio * 32767).astype(np.int16)
         import jax.numpy as jnp
-        state, (bytes_, preds, idxs) = adpcm.adpcm_encode(state, jnp.asarray(samples))
+        state, (bytes_, stride) = adpcm.adpcm_encode(state, jnp.asarray(samples))
         decoded, _ = adpcm.adpcm_decode_np(bytes(np.asarray(bytes_)))
         err = decoded.astype(np.float32) / 32767 - audio
         snr = 10 * np.log10(np.mean(audio**2) / np.mean(err**2))
@@ -114,13 +114,16 @@ class TestAdpcm:
         audio = (rng.standard_normal(2000) * 8000).astype(np.int16)
         import jax.numpy as jnp
         state = adpcm.adpcm_init()
-        state, (bytes_, preds, idxs) = adpcm.adpcm_encode(state, jnp.asarray(audio))
+        state, (bytes_, stride) = adpcm.adpcm_encode(state, jnp.asarray(audio))
         data = bytes(np.asarray(bytes_))
-        # decode first k bytes; decoder state must equal encoder snapshot
-        for k in (1, 10, 500, 999):
+        stride = np.asarray(stride)
+        # decode first k bytes (stride multiples); decoder state must equal
+        # the encoder's exported stride-state snapshot
+        for k in (8, 16, 504, 1000):
             _, (pred, idx) = adpcm.adpcm_decode_np(data[:k])
-            assert pred == int(np.asarray(preds)[k - 1])
-            assert idx == int(np.asarray(idxs)[k - 1])
+            spred, sidx = adpcm.unpack_codec_state(stride[k // adpcm.STATE_STRIDE - 1])
+            assert pred == spred
+            assert idx == sidx
 
     def test_sync_framer_stream(self):
         rng = np.random.default_rng(3)
@@ -132,8 +135,8 @@ class TestAdpcm:
         for _ in range(4):
             audio = (rng.standard_normal(1200) * 8000).astype(np.int16)
             original.append(audio)
-            state, (b, p, i) = adpcm.adpcm_encode(state, jnp.asarray(audio))
-            wire += framer.frame(np.asarray(b), np.asarray(p), np.asarray(i))
+            state, (b, stride) = adpcm.adpcm_encode(state, jnp.asarray(audio))
+            wire += framer.frame(np.asarray(b), np.asarray(stride))
         decoded = _decode_with_sync(bytes(wire))
         orig = np.concatenate(original)
         err = (decoded.astype(np.float32) - orig.astype(np.float32)) / 32767
