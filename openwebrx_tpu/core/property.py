@@ -409,6 +409,14 @@ class PropertyCarousel(Properties):
     def has_layer(self, key: str) -> bool:
         return key in self._layers
 
+    @property
+    def current_id(self) -> str | None:
+        """Key of the active layer (None if the default is active)."""
+        for k, layer in self._layers.items():
+            if layer is self._active:
+                return k
+        return None
+
     def switch(self, key: str | None = None):
         before = self._active
         self._active_sub.cancel()

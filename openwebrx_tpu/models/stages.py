@@ -596,7 +596,7 @@ class NoiseFilterStage(OpStage):
 class AdpcmEncodeStage(OpStage):
     """IMA ADPCM encode (reference AdpcmEncoder(sync=True),
     csdr/chain/clientaudio.py:34).  Input float [−1,1]; output y is a tuple
-    (bytes uint8 (..., B/2), stride_states int32 (..., B/16)) — the codec
+    (bytes uint8 (..., B/2), stride_states int32 (..., B/(2·STRIDE))) — the
     state after every STATE_STRIDE-th byte, packed (pred << 16) | index,
     which is exactly what the host SyncFramer needs to splice sync headers
     (cuts land only on stride multiples).  Per-byte codec state never

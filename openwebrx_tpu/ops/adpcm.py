@@ -69,14 +69,19 @@ def _bit(nib, diff, delta, stepval, bit):
     return nib, diff, delta
 
 
-STATE_STRIDE = 8   # codec-state export granularity (bytes)
+# codec-state export granularity (bytes): sync cuts land only on stride
+# multiples, so SYNC_INTERVAL % STATE_STRIDE == 0 and block byte counts are
+# forced to stride multiples (AdpcmEncodeStage.divisor).  200 keeps the
+# state export at 0.5 % of the audio volume (device→host readback is the
+# scarce resource on tunnel-attached chips).
+STATE_STRIDE = 200
 
 
 def adpcm_encode(state, samples: jnp.ndarray):
     """Encode int16-range samples (..., 2N) → (new_state, (bytes, stride)).
 
-    bytes: (..., N) uint8.  stride: (..., N/8) int32 — the codec state
-    AFTER every STATE_STRIDE-th byte, packed as (predictor << 16) | index.
+    bytes: (..., N) uint8.  stride: (..., N/STATE_STRIDE) int32 — the codec
+    state AFTER every STATE_STRIDE-th byte, packed (predictor << 16) | index.
     The host SyncFramer cuts sync frames only at stride multiples (the
     sync interval is a stride multiple), so this is all the state it needs
     — exporting full per-byte state was 80 % of the audio readback volume.

@@ -35,6 +35,16 @@ SOURCE_TYPES = {
     "uhd": ConnectorSource,
     "bladerf": ConnectorSource,
     "soapy_remote": ConnectorSource,
+    "radioberry": ConnectorSource,
+    "fcdpp": ConnectorSource,
+    "rtl_sdr_soapy": ConnectorSource,
+    "hydrasdr": ConnectorSource,
+    "sddc": ConnectorSource,
+    "sddc_soapy": ConnectorSource,
+    "hpsdr": ConnectorSource,
+    "runds": ConnectorSource,
+    "afedri": ConnectorSource,
+    "mirics": ConnectorSource,
     "connector": ConnectorSource,
     # direct/exec family: stdout IQ, restart on retune (reference
     # owrx/source/direct.py) — nmux is obsolete here, see sources/direct.py
@@ -118,6 +128,39 @@ class SdrService:
                 out.append({"id": f"{sdr_id}|{pid}",
                             "name": f"{src.get_name()} {name}"})
         return out
+
+    @classmethod
+    def reload_device(cls, sdr_id: str):
+        """Apply a settings change to one device live: stop the old source
+        and runtime, re-instantiate from the current config (reference: the
+        settings controllers store into config['sdrs'] and the property
+        wires restart the source, owrx/controllers/settings/sdr.py:175)."""
+        rt = cls._runtimes.pop(sdr_id, None)
+        if rt is not None:
+            try:
+                rt.stop()
+            except Exception:
+                logger.exception("runtime stop failed for %s", sdr_id)
+        src = cls._sources.pop(sdr_id, None)
+        if src is not None:
+            try:
+                src.shutdown()
+            except Exception:
+                logger.exception("source shutdown failed for %s", sdr_id)
+        config = Config.get()
+        sdrs = config.get("sdrs", {}) or {}
+        conf = sdrs.get(sdr_id) if hasattr(sdrs, "get") else None
+        if conf is None:
+            return  # deleted
+        conf_dict = dict(conf.items()) if hasattr(conf, "items") else dict(conf)
+        cls_ = SOURCE_TYPES.get(conf_dict.get("type", "connector"))
+        if cls_ is None:
+            logger.warning("unknown sdr type for %s", sdr_id)
+            return
+        try:
+            cls._sources[sdr_id] = cls_(sdr_id, PropertyLayer(**conf_dict))
+        except Exception:
+            logger.exception("failed to re-instantiate sdr %s", sdr_id)
 
     @classmethod
     def broadcast_chat(cls, name, text):

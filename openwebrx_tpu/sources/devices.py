@@ -104,6 +104,10 @@ DEVICE_TYPES: dict[str, DeviceDescription] = {
         "soapy_connector", extra_keys=["remote"]),
     "hydrasdr": DeviceDescription(
         "hydrasdr", "HydraSDR", _SOAPY + "hydrasdr", "soapy_connector"),
+    "sddc_soapy": DeviceDescription(
+        "sddc_soapy", "SDDC (RX666/RX888, SoapySDR)", _SOAPY + "SDDC",
+        "soapy_connector",
+        sample_rates=[2000000, 4000000, 8000000, 16000000, 32000000]),
     "sddc": DeviceDescription(
         "sddc", "SDDC (RX666/RX888)",
         "sddc_connector -p {port} -c {control_port} -s {samp_rate} "

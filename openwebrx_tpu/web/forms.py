@@ -219,6 +219,98 @@ PAGES: dict[str, list[Section]] = {
 }
 
 
+# ------------------------------------------------------ device/profile --
+# The reference generates device/profile forms from
+# SdrDeviceDescription.getInputs() with converters + validators
+# (owrx/controllers/settings/sdr.py:1-501, owrx/form/input/__init__.py).
+# Here the same structure is data: per-type Field lists the settings UI
+# renders, and convert_values() validates submissions.
+
+MODE_OPTIONS = [_opt(m) for m in (
+    "nfm", "wfm", "am", "sam", "lsb", "usb", "cw", "rawam", "rawsam",
+    "bpsk31", "bpsk63", "rtty450", "cwdecoder", "sstv", "fax", "packet",
+    "ft8", "ft4", "wspr", "js8")]
+
+
+def device_fields(desc) -> list[Field]:
+    """Device-level settings form for one DeviceDescription."""
+    fields = [
+        Field("name", "Device name"),
+        Field("enabled", "Enabled", "checkbox"),
+        Field("always_on", "Always on", "checkbox",
+              infotext="Keep the driver running even with no clients"),
+        Field("services", "Background services", "checkbox"),
+        Field("device", "Device selector",
+              infotext="serial number / device string, if more than one"),
+    ]
+    if desc.supports_ppm:
+        fields.append(Field("ppm", "Frequency correction", "number",
+                            append="ppm"))
+    if desc.supports_bias_tee:
+        fields.append(Field("bias_tee", "Bias tee", "checkbox"))
+    if desc.supports_direct_sampling:
+        fields.append(Field("direct_sampling", "Direct sampling", "dropdown",
+                            options=[_opt(0, "Off"), _opt(1, "I branch"),
+                                     _opt(2, "Q branch")]))
+    for key in desc.extra_keys:
+        fields.append(Field(key, key.replace("_", " ").title()))
+    return fields
+
+
+def profile_fields(desc) -> list[Field]:
+    """Profile-level settings form (reference profile sections)."""
+    fields = [
+        Field("name", "Profile name"),
+        Field("center_freq", "Center frequency", "number", append="Hz"),
+        Field("samp_rate", "Sample rate", "dropdown" if desc.sample_rates
+              else "number",
+              options=[_opt(r) for r in desc.sample_rates] or None,
+              append="S/s"),
+        Field("start_freq", "Initial frequency", "number", append="Hz"),
+        Field("start_mod", "Initial modulation", "dropdown",
+              options=MODE_OPTIONS),
+        Field("rf_gain", "RF gain", infotext="number, 'auto', or "
+              "stage=value pairs" + (": " + ", ".join(desc.gain_stages)
+                                     if desc.gain_stages else "")),
+        Field("lfo_offset", "Oscillator offset", "number", append="Hz",
+              infotext="Offset between tuned and displayed frequency"),
+        Field("waterfall_levels", "Waterfall levels", "json",
+              infotext='{"min": dBFS, "max": dBFS} (optional)'),
+        Field("scheduling", "Service schedule", "json",
+              infotext='e.g. {"type": "static", "schedule": '
+                       '{"0000-2400": true}} (optional)'),
+    ]
+    return fields
+
+
+def convert_values(fields: list[Field], body: dict) -> dict:
+    """Validate + coerce a submitted dict against a Field list.  Unknown
+    keys or bad values raise; empty-string optional values are dropped."""
+    by_key = {f.key: f for f in fields}
+    out = {}
+    for key, value in body.items():
+        if key not in by_key:
+            raise KeyError(f"unknown field {key}")
+        if value in ("", None) and key not in ("name",):
+            continue
+        out[key] = by_key[key].convert(value)
+    return out
+
+
+def device_schema() -> dict:
+    """Per-type device + profile form schemas for the settings UI."""
+    from openwebrx_tpu.sources.devices import DEVICE_TYPES
+    return {
+        t: {
+            "name": d.name,
+            "requirement": d.requirement,
+            "device_fields": [f.to_json() for f in device_fields(d)],
+            "profile_fields": [f.to_json() for f in profile_fields(d)],
+        }
+        for t, d in DEVICE_TYPES.items()
+    }
+
+
 def schema() -> dict:
     """Pages → sections → fields, with current values."""
     config = Config.get()

@@ -118,6 +118,194 @@ def devices_api(request: Request):
                           for t, d in DEVICE_TYPES.items()})
 
 
+# --------------------------------------------------- SDR device CRUD ----
+# Reference: owrx/controllers/settings/sdr.py (device list w/ live state,
+# device form from the description's inputs, per-profile tabs, delete
+# modals).  Changes land in config["sdrs"], persist via Config.store, and
+# re-instantiate the affected source so they apply live.
+
+def _plain(obj):
+    """Properties/PropertyLayer → plain JSON-able dict (recursive)."""
+    if hasattr(obj, "items"):
+        return {k: _plain(v) for k, v in obj.items()}
+    return obj
+
+
+def _sdrs_dict() -> dict:
+    return _plain(Config.get().get("sdrs", {}) or {})
+
+
+def _store_sdrs(sdrs: dict, touched_id: str | None):
+    from openwebrx_tpu.sdr import SdrService
+    config = Config.get()
+    config["sdrs"] = sdrs
+    Config.store()
+    if touched_id is not None:
+        SdrService.reload_device(touched_id)
+
+
+@require_auth
+def sdrs_api(request: Request):
+    """Device list + live state (reference SdrDeviceListController)."""
+    from openwebrx_tpu.sdr import SdrService
+    sources = SdrService.get_sources()
+    out = {}
+    for sdr_id, conf in _sdrs_dict().items():
+        entry = dict(conf)
+        src = sources.get(sdr_id)
+        if src is not None:
+            entry["state"] = str(src.get_state())
+            entry["failed"] = src.is_failed()
+            entry["current_profile"] = src.profile_carousel.current_id
+        else:
+            entry["state"] = "Unconfigured"
+        out[sdr_id] = entry
+    return json_response(out)
+
+
+@require_auth
+def sdrs_schema_api(request: Request):
+    from openwebrx_tpu.web import forms
+    return json_response(forms.device_schema())
+
+
+def _validated_device_update(desc, body: dict) -> dict:
+    from openwebrx_tpu.web import forms
+    return forms.convert_values(forms.device_fields(desc), body)
+
+
+def _validated_profile_update(desc, body: dict) -> dict:
+    from openwebrx_tpu.web import forms
+    return forms.convert_values(forms.profile_fields(desc), body)
+
+
+@require_auth
+def create_sdr(request: Request):
+    """POST {type, name, ...device fields} → {id} (reference
+    NewSdrDeviceController)."""
+    import uuid
+    from openwebrx_tpu.sources.devices import DEVICE_TYPES
+    try:
+        body = json.loads(request.body or b"{}")
+        sdr_type = body.pop("type", None)
+        desc = DEVICE_TYPES.get(sdr_type)
+        if desc is None:
+            return json_response(
+                {"error": f"unknown device type {sdr_type!r}",
+                 "types": sorted(DEVICE_TYPES)}, status=400)
+        update = _validated_device_update(desc, body)
+        if not update.get("name"):
+            return json_response({"error": "name is required"}, status=400)
+    except json.JSONDecodeError:
+        return json_response({"error": "bad request"}, status=400)
+    except (KeyError, ValueError) as e:
+        return json_response({"error": str(e)}, status=400)
+    sdr_id = str(uuid.uuid4())
+    sdrs = _sdrs_dict()
+    sdrs[sdr_id] = {"type": sdr_type, "profiles": {}, **update}
+    _store_sdrs(sdrs, sdr_id)
+    logger.info("sdr %s (%s) created by %s", sdr_id, sdr_type,
+                _session_user(request))
+    return json_response({"ok": True, "id": sdr_id})
+
+
+@require_auth
+def update_sdr(request: Request):
+    from openwebrx_tpu.sources.devices import DEVICE_TYPES
+    sdr_id = request.matches.group(1)
+    sdrs = _sdrs_dict()
+    if sdr_id not in sdrs:
+        return json_response({"error": "no such device"}, status=404)
+    desc = DEVICE_TYPES.get(sdrs[sdr_id].get("type"))
+    if desc is None:
+        return json_response({"error": "unknown device type"}, status=400)
+    try:
+        body = json.loads(request.body or b"{}")
+        body.pop("type", None)       # type switch not supported (reference)
+        body.pop("profiles", None)   # profiles have their own endpoints
+        update = _validated_device_update(desc, body)
+    except json.JSONDecodeError:
+        return json_response({"error": "bad request"}, status=400)
+    except (KeyError, ValueError) as e:
+        return json_response({"error": str(e)}, status=400)
+    sdrs[sdr_id].update(update)
+    _store_sdrs(sdrs, sdr_id)
+    return json_response({"ok": True, "applied": update})
+
+
+@require_auth
+def delete_sdr(request: Request):
+    sdr_id = request.matches.group(1)
+    sdrs = _sdrs_dict()
+    if sdr_id not in sdrs:
+        return json_response({"error": "no such device"}, status=404)
+    del sdrs[sdr_id]
+    _store_sdrs(sdrs, sdr_id)
+    logger.info("sdr %s deleted by %s", sdr_id, _session_user(request))
+    return json_response({"ok": True})
+
+
+@require_auth
+def create_profile(request: Request):
+    import uuid
+    from openwebrx_tpu.sources.devices import DEVICE_TYPES
+    sdr_id = request.matches.group(1)
+    sdrs = _sdrs_dict()
+    if sdr_id not in sdrs:
+        return json_response({"error": "no such device"}, status=404)
+    desc = DEVICE_TYPES.get(sdrs[sdr_id].get("type"))
+    try:
+        body = json.loads(request.body or b"{}")
+        update = _validated_profile_update(desc, body)
+        if not update.get("name"):
+            return json_response({"error": "name is required"}, status=400)
+        for req in ("center_freq", "samp_rate"):
+            if req not in update:
+                return json_response({"error": f"{req} is required"},
+                                     status=400)
+    except json.JSONDecodeError:
+        return json_response({"error": "bad request"}, status=400)
+    except (KeyError, ValueError) as e:
+        return json_response({"error": str(e)}, status=400)
+    profile_id = str(uuid.uuid4())
+    sdrs[sdr_id].setdefault("profiles", {})[profile_id] = update
+    _store_sdrs(sdrs, sdr_id)
+    return json_response({"ok": True, "id": profile_id})
+
+
+@require_auth
+def update_profile(request: Request):
+    from openwebrx_tpu.sources.devices import DEVICE_TYPES
+    sdr_id, profile_id = request.matches.group(1), request.matches.group(2)
+    sdrs = _sdrs_dict()
+    profiles = sdrs.get(sdr_id, {}).get("profiles", {})
+    if profile_id not in profiles:
+        return json_response({"error": "no such profile"}, status=404)
+    desc = DEVICE_TYPES.get(sdrs[sdr_id].get("type"))
+    try:
+        body = json.loads(request.body or b"{}")
+        update = _validated_profile_update(desc, body)
+    except json.JSONDecodeError:
+        return json_response({"error": "bad request"}, status=400)
+    except (KeyError, ValueError) as e:
+        return json_response({"error": str(e)}, status=400)
+    profiles[profile_id].update(update)
+    _store_sdrs(sdrs, sdr_id)
+    return json_response({"ok": True, "applied": update})
+
+
+@require_auth
+def delete_profile(request: Request):
+    sdr_id, profile_id = request.matches.group(1), request.matches.group(2)
+    sdrs = _sdrs_dict()
+    profiles = sdrs.get(sdr_id, {}).get("profiles", {})
+    if profile_id not in profiles:
+        return json_response({"error": "no such profile"}, status=404)
+    del profiles[profile_id]
+    _store_sdrs(sdrs, sdr_id)
+    return json_response({"ok": True})
+
+
 @require_auth
 def logs_api(request: Request):
     from openwebrx_tpu.core.loghistory import HistoryHandler
@@ -202,6 +390,20 @@ async def profile_api(request: Request):
 
 def register_routes(router):
     router.add("/api/devices", devices_api)
+    router.add("/api/sdrs", sdrs_api)
+    router.add("/api/sdrs", create_sdr, method="POST")
+    router.add("/api/sdrs/schema", sdrs_schema_api)
+    router.add_regex(r"^/api/sdrs/([0-9a-zA-Z_.-]+)$", update_sdr,
+                     method="POST")
+    router.add_regex(r"^/api/sdrs/([0-9a-zA-Z_.-]+)/delete$", delete_sdr,
+                     method="POST")
+    router.add_regex(r"^/api/sdrs/([0-9a-zA-Z_.-]+)/profiles$",
+                     create_profile, method="POST")
+    router.add_regex(r"^/api/sdrs/([0-9a-zA-Z_.-]+)/profiles/"
+                     r"([0-9a-zA-Z_.-]+)$", update_profile, method="POST")
+    router.add_regex(r"^/api/sdrs/([0-9a-zA-Z_.-]+)/profiles/"
+                     r"([0-9a-zA-Z_.-]+)/delete$", delete_profile,
+                     method="POST")
     router.add("/api/logs", logs_api)
     router.add("/api/profile", profile_api, method="POST")
     router.add("/login", login, method="POST")

@@ -119,7 +119,7 @@ class TestAdpcm:
         stride = np.asarray(stride)
         # decode first k bytes (stride multiples); decoder state must equal
         # the encoder's exported stride-state snapshot
-        for k in (8, 16, 504, 1000):
+        for k in (200, 400, 1000):
             _, (pred, idx) = adpcm.adpcm_decode_np(data[:k])
             spred, sidx = adpcm.unpack_codec_state(stride[k // adpcm.STATE_STRIDE - 1])
             assert pred == spred

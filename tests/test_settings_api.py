@@ -30,7 +30,12 @@ async def http(port, method, path, body=None, cookie=None):
         headers.append(f"Cookie: {cookie}")
     writer.write(("\r\n".join(headers) + "\r\n\r\n").encode() + payload)
     await writer.drain()
-    raw = await reader.read(65536)
+    raw = b""
+    while True:
+        chunk = await reader.read(65536)
+        if not chunk:
+            break
+        raw += chunk
     writer.close()
     head, _, body_out = raw.partition(b"\r\n\r\n")
     status = int(head.split(b" ")[1])
@@ -172,3 +177,123 @@ class TestSchemaForms:
         finally:
             await server.stop()
             Bookmarks._instance = None
+
+
+@pytest.mark.usefixtures("admin_user")
+class TestSdrCrud:
+    """Create/edit/delete SDR devices + profiles entirely over the API
+    (reference owrx/controllers/settings/sdr.py device/profile forms)."""
+
+    def test_device_profile_lifecycle(self):
+        asyncio.run(self._run())
+
+    async def _run(self):
+        from openwebrx_tpu.sdr import SdrService
+        from openwebrx_tpu.web.server import build_router
+        from openwebrx_tpu.web.http import HttpServer
+
+        SdrService.reset()
+        server = HttpServer(build_router(), port=0, host="127.0.0.1")
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        try:
+            _, _, cookie = await http(port, "POST", "/login",
+                                      {"username": "admin",
+                                       "password": "secret"})
+
+            # schema advertises per-type device + profile forms
+            status, body, _ = await http(port, "GET", "/api/sdrs/schema",
+                                         cookie=cookie)
+            assert status == 200
+            schema = json.loads(body)
+            assert "rtl_sdr" in schema and "sddc_soapy" in schema
+            keys = [f["key"] for f in schema["rtl_sdr"]["device_fields"]]
+            assert "name" in keys and "ppm" in keys and "bias_tee" in keys
+            pkeys = [f["key"] for f in schema["rtl_sdr"]["profile_fields"]]
+            assert "center_freq" in pkeys and "samp_rate" in pkeys
+
+            # unauthenticated writes rejected
+            status, _, _ = await http(port, "POST", "/api/sdrs",
+                                      {"type": "signal", "name": "x"})
+            assert status == 401
+
+            # create a device
+            status, body, _ = await http(
+                port, "POST", "/api/sdrs",
+                {"type": "signal", "name": "Test Signal", "enabled": True},
+                cookie=cookie)
+            assert status == 200, body
+            sdr_id = json.loads(body)["id"]
+            sdrs = Config.get()["sdrs"]
+            entry = dict(sdrs[sdr_id].items()) if hasattr(
+                sdrs[sdr_id], "items") else sdrs[sdr_id]
+            assert entry["name"] == "Test Signal"
+
+            # bad type / missing name rejected
+            status, _, _ = await http(port, "POST", "/api/sdrs",
+                                      {"type": "warp_drive", "name": "x"},
+                                      cookie=cookie)
+            assert status == 400
+            status, _, _ = await http(port, "POST", "/api/sdrs",
+                                      {"type": "signal"}, cookie=cookie)
+            assert status == 400
+
+            # device listed with live state
+            status, body, _ = await http(port, "GET", "/api/sdrs",
+                                         cookie=cookie)
+            listing = json.loads(body)
+            assert sdr_id in listing and "state" in listing[sdr_id]
+
+            # edit device fields (validated)
+            status, body, _ = await http(port, "POST", f"/api/sdrs/{sdr_id}",
+                                         {"name": "Renamed"}, cookie=cookie)
+            assert status == 200
+            status, _, _ = await http(port, "POST", f"/api/sdrs/{sdr_id}",
+                                      {"nonsense_key": 1}, cookie=cookie)
+            assert status == 400
+
+            # add a profile (required fields enforced)
+            status, _, _ = await http(port, "POST",
+                                      f"/api/sdrs/{sdr_id}/profiles",
+                                      {"name": "2m"}, cookie=cookie)
+            assert status == 400
+            status, body, _ = await http(
+                port, "POST", f"/api/sdrs/{sdr_id}/profiles",
+                {"name": "2m", "center_freq": 145000000,
+                 "samp_rate": 2400000, "start_mod": "nfm"}, cookie=cookie)
+            assert status == 200, body
+            pid = json.loads(body)["id"]
+
+            # edit the profile; dropdown validation applies
+            status, _, _ = await http(
+                port, "POST", f"/api/sdrs/{sdr_id}/profiles/{pid}",
+                {"start_mod": "nope"}, cookie=cookie)
+            assert status == 400
+            status, _, _ = await http(
+                port, "POST", f"/api/sdrs/{sdr_id}/profiles/{pid}",
+                {"start_freq": 145500000}, cookie=cookie)
+            assert status == 200
+
+            # live apply: the registry re-instantiated the source with the
+            # new profile
+            src = SdrService.get_sources().get(sdr_id)
+            assert src is not None
+            assert pid in src.get_profiles()
+
+            # delete profile, then device
+            status, _, _ = await http(
+                port, "POST", f"/api/sdrs/{sdr_id}/profiles/{pid}/delete",
+                cookie=cookie)
+            assert status == 200
+            status, _, _ = await http(port, "POST",
+                                      f"/api/sdrs/{sdr_id}/delete",
+                                      cookie=cookie)
+            assert status == 200
+            sdrs = Config.get()["sdrs"]
+            contains = (sdr_id in dict(sdrs.items())) if hasattr(
+                sdrs, "items") else (sdr_id in sdrs)
+            assert not contains
+            assert sdr_id not in SdrService.get_sources()
+        finally:
+            await server.stop()
+            SdrService.reset()
