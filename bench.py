@@ -108,38 +108,77 @@ def _nfm_capture(rate: float, seconds: float = 0.25) -> np.ndarray:
     return (sig + noise).astype(np.complex64)
 
 
-def _run_streaming(runtime, source, n_blocks: int):
-    """The DeviceRuntime streaming loop, instrumented: one-deep pipeline
-    (dispatch N, complete N−1), per-block latency from ring-read return to
-    results delivered.  Returns (msps, mean_ms, p95_ms, wall_s)."""
-    lat = []
-    pending = None
-    t_prev = None
-    # warmup/compile outside timing
+def _run_streaming(runtime, source, n_blocks: int, depth: int = 4,
+                   paced_blocks: int = 0):
+    """Two measurement phases over the DeviceRuntime streaming machinery:
+
+    1. THROUGHPUT: depth-N pipeline (the production loop's structure,
+       runtime/device.py _loop) driven as fast as the ring delivers —
+       device→host result copies land while later blocks dispatch.
+    2. PACED LATENCY: real-time block cadence (sleep to the arrival
+       schedule), synchronous dispatch+complete per block — the latency a
+       listener actually experiences from IQ-block-complete to results
+       delivered.  Max-rate runs overlap many blocks, so their per-block
+       "latency" measures queue depth, not the product; latency is only
+       meaningful at real-time input rates.
+
+    Returns (msps, paced_mean_ms, paced_p95_ms, throughput_wall_s,
+    paced_wall_s)."""
+    from collections import deque
     for _ in range(WARMUP):
         block = source.read_block(timeout=10.0)
         runtime._process_block(block)
+    pend = deque()
     t0 = time.perf_counter()
     done = 0
     while done < n_blocks:
         block = source.read_block(timeout=10.0)
         if block is None:
             break
-        t_read = time.perf_counter()
-        nxt = runtime._dispatch_block(block)
-        if pending is not None:
-            runtime._complete_block(pending)
-            lat.append(time.perf_counter() - t_prev)
-        pending = nxt
-        t_prev = t_read
+        pend.append(runtime._dispatch_block(block))
+        if len(pend) >= depth:
+            runtime._complete_block(pend.popleft())
         done += 1
-    if pending is not None:
-        runtime._complete_block(pending)
-        lat.append(time.perf_counter() - t_prev)
+    while pend:
+        runtime._complete_block(pend.popleft())
     wall = time.perf_counter() - t0
-    lat_ms = np.asarray(lat) * 1e3
     msps = done * runtime.block / wall / 1e6
-    return msps, float(lat_ms.mean()), float(np.percentile(lat_ms, 95)), wall
+
+    lat = []
+    block_s = runtime.block / float(source.get_sample_rate())
+    paced_wall = 0.0
+    if paced_blocks:
+        # depth-2 at real-time cadence: block N's results are delivered
+        # right after block N+1 dispatches, so its device→host copies get
+        # a full block interval of shadow (they need ~25-50 ms to land on
+        # the tunnel).  Latency of N = ring-read(N) → results(N) ≈ one
+        # block interval + dispatch — the production loop's behavior
+        # (runtime/device.py pipeline_depth=2).
+        t_start = time.perf_counter()
+        next_arrival = t_start
+        inflight = deque()
+        for _ in range(paced_blocks):
+            block = source.read_block(timeout=10.0)
+            if block is None:
+                break
+            t_read = time.perf_counter()
+            inflight.append((t_read, runtime._dispatch_block(block)))
+            if len(inflight) >= 2:
+                t_r, p = inflight.popleft()
+                runtime._complete_block(p)
+                lat.append(time.perf_counter() - t_r)
+            next_arrival += block_s
+            delay = next_arrival - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+        while inflight:
+            t_r, p = inflight.popleft()
+            runtime._complete_block(p)
+            lat.append(time.perf_counter() - t_r)
+        paced_wall = time.perf_counter() - t_start
+    lat_ms = np.asarray(lat) * 1e3 if lat else np.asarray([0.0])
+    return (msps, float(lat_ms.mean()), float(np.percentile(lat_ms, 95)),
+            wall, paced_wall)
 
 
 def _make_runtime(rate: float, seconds_block: float, **kw):
@@ -162,7 +201,8 @@ def bench_config1():
     handle.audio_cb = lambda b, hd: sink.__setitem__("bytes",
                                                      sink["bytes"] + len(b))
     try:
-        msps, mean_ms, p95_ms, _ = _run_streaming(runtime, source, 60)
+        msps, mean_ms, p95_ms, _, _ = _run_streaming(runtime, source, 60,
+                                                     depth=4, paced_blocks=30)
     finally:
         source.close()
     assert sink["bytes"] > 0
@@ -177,18 +217,23 @@ def bench_config1():
 # ---------------------------------------------------------------- config 2 --
 def bench_config2():
     """4096-bin waterfall + one SSB channel over the same capture;
-    waterfall rows must stay interactive (<100 ms end-to-end budget)."""
+    waterfall rows must stay interactive (<100 ms end-to-end budget, ≥20
+    interactive fps).  Latency and fps come from the real-time paced
+    phase — the regime a listener actually sees."""
     rate = 2.4e6
-    runtime, source = _make_runtime(rate, 0.05, fft_size=4096, fft_fps=9.0)
-    rows = {"n": 0}
+    runtime, source = _make_runtime(rate, 0.05, fft_size=4096, fft_fps=20.0)
+    rows = {"n": 0, "mark": 0}
     runtime.subscribe_waterfall(lambda payload: rows.__setitem__("n", rows["n"] + 1))
     handle = runtime.open_channel("usb", offset_hz=-250e3)
     handle.audio_cb = lambda b, hd: None
     try:
-        msps, mean_ms, p95_ms, wall = _run_streaming(runtime, source, 60)
+        msps, _, _, _, _ = _run_streaming(runtime, source, 60, depth=4)
+        rows["mark"] = rows["n"]
+        _, mean_ms, p95_ms, _, paced_wall = _run_streaming(
+            runtime, source, 0, paced_blocks=40)
     finally:
         source.close()
-    fps = rows["n"] / wall
+    fps = (rows["n"] - rows["mark"]) / paced_wall if paced_wall else 0.0
     return {"config": 2, "desc": "4096-bin waterfall + SSB channel "
                                  "(end-to-end host stream)",
             "msps": round(msps, 2), "vs_baseline": round(msps / 2.4, 2),
@@ -215,32 +260,39 @@ def bench_config3():
     blocks = [bank.pack_input(
         (rng.standard_normal(bank.block) + 1j * rng.standard_normal(bank.block)
          ).astype(np.complex64) * 0.2) for _ in range(4)]
-    # one-deep pipeline over the tunnel: upload block N and dispatch while
-    # block N−1's audio streams back — the same double-buffering the
-    # DeviceRuntime loop uses; without it every block pays the full H2D +
-    # compute + D2H round trip in sequence
-    state, params = bank.state, bank.chain.params()
-    step = bank._step
+    # depth-6 pipeline over the tunnel: upload + dispatch blocks N..N+5
+    # while older blocks' audio streams back (the tunnel's D2H copies take
+    # ~25-50 ms to land after issue; each pipeline slot shadows one
+    # dispatch's worth of that)
+    from collections import deque
+    depth = 6
     for i in range(WARMUP):
-        state, yp, _ = step(state, params, jax.device_put(blocks[i % 4]))
-    jax.block_until_ready(yp)
-    n = 32
-    prev = None
-    lat = []
+        bank.process(jax.device_put(blocks[i % 4]))
+    n = 48
+    pend = deque()
     t0 = time.perf_counter()
     for i in range(n):
-        t_blk = time.perf_counter()
-        state, yp, _ = step(state, params, jax.device_put(blocks[i % 4]))
-        if prev is not None:
-            np.asarray(prev[0] if isinstance(prev, tuple) else prev)
-            lat.append(time.perf_counter() - t_prev)
-        prev, t_prev = yp, t_blk
-    np.asarray(prev[0] if isinstance(prev, tuple) else prev)
-    lat.append(time.perf_counter() - t_prev)
+        pend.append(bank.dispatch(jax.device_put(blocks[i % 4])))
+        if len(pend) >= depth:
+            bank.fetch(*pend.popleft())
+    while pend:
+        bank.fetch(*pend.popleft())
     wall = time.perf_counter() - t0
     msps = n * bank.block / wall / 1e6
+    # paced real-time latency: one block per block-interval, synchronous
+    block_s = bank.block / fs
+    lat = []
+    next_arrival = time.perf_counter()
+    for i in range(20):
+        t_blk = time.perf_counter()
+        bank.process(jax.device_put(blocks[i % 4]))
+        lat.append(time.perf_counter() - t_blk)
+        next_arrival += block_s
+        delay = next_arrival - time.perf_counter()
+        if delay > 0:
+            time.sleep(delay)
     return {"config": 3, "desc": "8.192 MS/s -> 64-ch PFB -> SSB chains "
-                                 "(host-streamed blocks, one-deep pipeline)",
+                                 "(host-streamed blocks, depth-6 pipeline)",
             "msps": round(msps, 2), "vs_baseline": round(msps / 8.192, 2),
             "block_latency_ms": round(float(np.mean(lat)) * 1e3, 2)}
 
@@ -278,19 +330,26 @@ def bench_config4():
         prog.fetch(*pend)
         bank.process(bblocks[i % 3])
     # both pipelines must keep up with the SAME 2.4 MS/s capture: process
-    # n_sec of signal through each, combined rate = signal seconds / wall
+    # n_sec of signal through each, combined rate = signal seconds / wall;
+    # depth-4 pipelines let result copies land under later dispatches
+    from collections import deque
+    depth = 4
     n_psk = 32
     n_bank = int(round(n_psk * prog.block / bank.block))
     t0 = time.perf_counter()
-    pend = None
+    pend = deque()
     for i in range(n_psk):
-        nxt = prog.dispatch(pblocks[i % 3])           # PSK31 symbols
-        if pend is not None:
-            prog.fetch(*pend)
-        pend = nxt
-    prog.fetch(*pend)
+        pend.append(prog.dispatch(pblocks[i % 3]))     # PSK31 symbols
+        if len(pend) >= depth:
+            prog.fetch(*pend.popleft())
+    while pend:
+        prog.fetch(*pend.popleft())
     for i in range(n_bank):
-        bank.process(bblocks[i % 3])                   # FT8 audio feed
+        pend.append(bank.program.dispatch(bblocks[i % 3]))  # FT8 audio feed
+        if len(pend) >= depth:
+            bank.program.fetch(*pend.popleft())
+    while pend:
+        bank.program.fetch(*pend.popleft())
     wall = time.perf_counter() - t0
     seconds = n_psk * prog.block / fs
     msps = seconds * fs / wall / 1e6
@@ -330,16 +389,18 @@ def bench_config5():
         y, aux = bank.process(blocks[i % len(blocks)])
         audio_bytes += y[0].nbytes
 
+    from collections import deque
+    depth = 8
     t0 = time.perf_counter()
-    pend = None
+    pend = deque()
     for i in range(BLOCKS5):
-        nxt = bank.dispatch(blocks[i % len(blocks)])
-        if pend is not None:
-            y, aux = bank.fetch(*pend)
+        pend.append(bank.dispatch(blocks[i % len(blocks)]))
+        if len(pend) >= depth:
+            y, aux = bank.fetch(*pend.popleft())
             audio_bytes += y[0].nbytes
-        pend = nxt
-    y, aux = bank.fetch(*pend)
-    audio_bytes += y[0].nbytes
+    while pend:
+        y, aux = bank.fetch(*pend.popleft())
+        audio_bytes += y[0].nbytes
     elapsed = time.perf_counter() - t0
     assert audio_bytes > 0 and isinstance(y[0], np.ndarray)
     return BLOCKS5 * bank.block / elapsed / 1e6

@@ -90,8 +90,10 @@ class FftChain(Chain):
     """Device waterfall (reference csdr/chain/fft.py + owrx/fft.py)."""
 
     def __init__(self, fft_size: int = 4096, fps: float = 9.0,
-                 add_db: float = -70.0, name: str = "fft"):
-        self.waterfall = WaterfallStage(fft_size, fps, add_db)
+                 add_db: float = -70.0, name: str = "fft",
+                 compress: bool = False):
+        self.waterfall = WaterfallStage(fft_size, fps, add_db,
+                                        compress=compress)
         super().__init__([self.waterfall], name=name)
 
 

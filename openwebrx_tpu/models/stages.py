@@ -469,12 +469,23 @@ class WaterfallStage(OpStage):
     """
 
     def __init__(self, fft_size: int, fps: float, add_db: float = -70.0,
-                 overlap_factor: float = 0.3, name: str = "waterfall"):
+                 overlap_factor: float = 0.3, name: str = "waterfall",
+                 compress: bool = False):
         self.name = name
         self.fft_size = int(fft_size)
         self.fps = float(fps)
         self.add_db = float(add_db)
         self.overlap_factor = overlap_factor
+        # compress=True: ADPCM-encode rows INSIDE the program (reference
+        # FftAdpcm lives in the shared chain too, csdr/chain/fft.py:44).
+        # Device→host readback is the scarce resource on tunnel-attached
+        # chips: compressed rows are 8× smaller AND skip the separate
+        # host-side encode round trip that cost ~30 ms/block.  Output is
+        # int32 words; the first ``wire_bytes_per_row`` bytes of each row
+        # are the wire payload.
+        self.compress = bool(compress)
+        pad = adpcm.COMPRESS_FFT_PAD_N
+        self.wire_bytes_per_row = (self.fft_size + pad + 1) // 2
 
     def plan(self, in_spec, block):
         self.in_spec = in_spec
@@ -497,13 +508,34 @@ class WaterfallStage(OpStage):
         return fftops.fft_init(self.fft_size, self.fft_size, batch_shape)
 
     def apply(self, state, params, x):
+        import jax
         state, p = fftops.fft_power_at(state, jnp.asarray(self.window), x,
                                        self.fft_size, self.ends)
         rows = fftops.log_average(p, self.averages, self.add_db)
-        return state, fftops.fft_swap(rows), {}
+        rows = fftops.fft_swap(rows)
+        if not self.compress:
+            return state, rows, {}
+        # reference wire format: dB×100 int16, 10 warm-up pad samples,
+        # fresh codec per row (client resets per message,
+        # htdocs/openwebrx.js:1124-1128); samples padded so the byte count
+        # is int32-aligned, host trims to wire_bytes_per_row
+        s = jnp.clip(rows * 100.0, -32768, 32767).astype(jnp.int16)
+        pad = jnp.repeat(s[..., :1], adpcm.COMPRESS_FFT_PAD_N, axis=-1)
+        s = jnp.concatenate([pad, s], axis=-1)
+        extra = (-s.shape[-1]) % 8
+        if extra:
+            s = jnp.concatenate(
+                [s, jnp.repeat(s[..., -1:], extra, axis=-1)], axis=-1)
+        _, (bytes_, _stride) = adpcm.adpcm_encode(
+            adpcm.adpcm_init(s.shape[:-1]), s)
+        words = jax.lax.bitcast_convert_type(
+            bytes_.reshape(bytes_.shape[:-1] + (bytes_.shape[-1] // 4, 4)),
+            jnp.int32)
+        return state, words, {}
 
     def signature(self):
-        return ("waterfall", self.fft_size, self.rows, self.averages, self.add_db)
+        return ("waterfall", self.fft_size, self.rows, self.averages,
+                self.add_db, self.compress)
 
 
 # ------------------------------------------------------------------- rds --

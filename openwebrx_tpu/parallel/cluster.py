@@ -167,15 +167,30 @@ class DistributedReceiver:
                 f"host slab must be ({self.slab}, 2), got {x_local.shape}")
         return jax.make_array_from_process_local_data(self._sharded, x_local)
 
-    def process_local(self, x_local: np.ndarray):
-        """Step the global program with this host's IQ slab; returns
-        (channel_indices, audio_local, checksum) — audio for the channels
-        this host owns (packed float32 if the chain output is complex)."""
+    def dispatch_local(self, x_local: np.ndarray):
+        """Launch one global step from this host's IQ slab without waiting
+        for results; device→host copies of this host's channel shards start
+        streaming immediately.  Pair with ``complete_local`` — the
+        streaming loop runs them one block apart so host packing/readback
+        overlaps device compute (the same one-deep software pipeline as
+        DeviceRuntime._loop / ChannelizedBank.dispatch)."""
+        import jax
         x = self._assemble(x_local)
         if self._params is None or self._params_version != self._bank_version():
             self.refresh_params()
         self.state, yp, check = self._step(self.state, self._params, x)
         audio = yp[0] if isinstance(yp, tuple) else yp
+        for shard in audio.addressable_shards:
+            try:
+                shard.data.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                break
+        return audio, check
+
+    def complete_local(self, pending):
+        """Materialize a ``dispatch_local`` result: (channel_indices,
+        audio_local, checksum) for the channels this host owns."""
+        audio, check = pending
         idx, rows = [], []
         for shard in audio.addressable_shards:
             lo = shard.index[0].start or 0
@@ -186,6 +201,12 @@ class DistributedReceiver:
         idx = np.asarray(idx)[order]
         rows = np.concatenate(rows, axis=0)[order]
         return idx, rows, float(check)
+
+    def process_local(self, x_local: np.ndarray):
+        """Step the global program with this host's IQ slab; returns
+        (channel_indices, audio_local, checksum) — audio for the channels
+        this host owns (packed float32 if the chain output is complex)."""
+        return self.complete_local(self.dispatch_local(x_local))
 
 
 def _dryrun(cluster: ClusterInfo, m: int = 8, seconds: float = 0.02,
@@ -230,9 +251,17 @@ def _bench(cluster: ClusterInfo, m: int, blocks: int,
               ).astype(np.complex64) * 0.1 for _ in range(4)]
     for i in range(2):                                   # warmup + compile
         rx.process_local(slabs[i % len(slabs)])
+    # one-deep pipeline: dispatch block N while block N−1's channel shards
+    # finish copying back — host packing/readback overlaps device compute,
+    # the same structure the production streaming loops use
     t0 = time.perf_counter()
+    pend = None
     for i in range(blocks):
-        rx.process_local(slabs[i % len(slabs)])
+        nxt = rx.dispatch_local(slabs[i % len(slabs)])
+        if pend is not None:
+            rx.complete_local(pend)
+        pend = nxt
+    rx.complete_local(pend)
     dt = time.perf_counter() - t0
     return bank.block * blocks / dt, dt / blocks
 

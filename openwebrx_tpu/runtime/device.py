@@ -312,45 +312,96 @@ class ExecAudioHandle:
     (csdr/chain/{drm,freedv,m17,hdradio,dablin}.py).  Feature-gated on the
     binary; audio_cb receives raw s16 frames (compression handled by the
     connection layer as for service audio).
+
+    Metadata feeders (``services/exec_meta.py``; VERDICT r2 task 6):
+    DRM status arrives over dream's ``--status-socket`` unix socket, DAB
+    ensemble/service labels (plus AFC feedback nudging the IQ shift) and
+    HDR station info arrive on the decoder's stderr.  ``meta_cb(dict)``
+    receives panels' metadata messages.
     """
 
-    # mode → (if_rate, wire format, command builder)
+    # mode → (if_rate, wire format, command builder, meta channel)
     MODES = {
         "drm": (48000, "cs16",
                 lambda rate: ["dream", "-c", "6", "--sigsrate", str(int(rate)),
-                              "--audsrate", "12000", "-I", "-", "-O", "-"]),
+                              "--audsrate", "12000", "-I", "-", "-O", "-"],
+                "drm_socket"),
         "freedv": (8000, "cs16",
-                   lambda rate: ["freedv_rx", "1600", "-", "-"]),
+                   lambda rate: ["freedv_rx", "1600", "-", "-"], None),
         "m17": (48000, "cs16",
-                lambda rate: ["m17-demod", "-l"]),
+                lambda rate: ["m17-demod", "-l"], None),
         "hdr": (744187, "cs16",
-                lambda rate: ["nrsc5", "-r", "-", "-o", "-", "0"]),
+                lambda rate: ["nrsc5", "-r", "-", "-o", "-", "0"], "hdr"),
         "dab": (2048000, "cs16",
-                lambda rate: ["dablin", "-s", "-p", "-"]),
+                lambda rate: ["dablin", "-s", "-p", "-"], "dab"),
     }
 
     def __init__(self, runtime: "DeviceRuntime", mode: str, offset_hz: float,
                  command_override=None):
         from openwebrx_tpu.services.pipeline import SubprocessPipeline
 
-        if_rate, wire, cmd = self.MODES[mode]
+        if_rate, wire, cmd, meta_kind = self.MODES[mode]
         self.mode = mode
         self.runtime = runtime
         self.audio_cb = None
+        self.meta_cb = None
+        self._base_offset = float(offset_hz)
+        self._drm_monitor = None
+        self._drm_socket_path = None
         self.iq = runtime.open_iq_channel(if_rate, offset_hz, wire)
+        commandline = list(command_override or cmd(if_rate))
+        on_stderr = None
+        if meta_kind == "drm_socket":
+            import tempfile
+            self._drm_socket_path = os.path.join(
+                tempfile.gettempdir(),
+                f"owrx_drm_{os.getpid()}_{id(self):x}.sock")
+            if command_override is None:
+                commandline += ["--status-socket", self._drm_socket_path]
+            from openwebrx_tpu.services.exec_meta import DrmStatusMonitor
+            self._drm_monitor = DrmStatusMonitor(self._drm_socket_path,
+                                                 self._on_meta)
+            self._drm_monitor.start()
+        elif meta_kind == "dab":
+            from openwebrx_tpu.services.exec_meta import DabAfc, DabMetaParser
+            self._afc = DabAfc(self._apply_afc)
+            on_stderr = DabMetaParser(self._on_meta, self._afc).feed_line
+        elif meta_kind == "hdr":
+            from openwebrx_tpu.services.exec_meta import HdrMetaParser
+            on_stderr = HdrMetaParser(self._on_meta).feed_line
         self.pipeline = SubprocessPipeline(
-            command_override or cmd(if_rate), self._on_audio_bytes,
-            line_based=False)
+            commandline, self._on_audio_bytes, line_based=False,
+            on_stderr_line=on_stderr)
         self.iq.iq_cb = self.pipeline.feed
 
     def _on_audio_bytes(self, data: bytes):
         if self.audio_cb is not None:
             self.audio_cb(data, False)
 
+    def _on_meta(self, meta: dict):
+        if self.meta_cb is not None:
+            self.meta_cb(meta)
+
+    def _apply_afc(self, shift_hz: float):
+        """DAB AFC: the ETI frontend's frequency-shift feedback nudges the
+        channel NCO (reference csdr/chain/dablin.py MetaProcessor)."""
+        self.iq.set_offset(self._base_offset + shift_hz)
+
     def set_offset(self, offset_hz: float):
+        self._base_offset = float(offset_hz)
+        afc = getattr(self, "_afc", None)
+        if afc is not None:
+            afc.reset()
         self.iq.set_offset(offset_hz)
 
     def close(self):
+        if self._drm_monitor is not None:
+            self._drm_monitor.stop()
+            if self._drm_socket_path and os.path.exists(self._drm_socket_path):
+                try:
+                    os.unlink(self._drm_socket_path)
+                except OSError:
+                    pass
         self.runtime.release_secondary(self.iq)
         self.pipeline.close()
 
@@ -482,7 +533,14 @@ class DeviceRuntime:
     def __init__(self, source: SdrSource, fft_size: int = 4096, fft_fps: float = 9.0,
                  audio_rate: float = 12000.0, compression: str = "adpcm",
                  fft_compression: str = "adpcm", capacity: int = 16,
-                 target_seconds: float = 0.1):
+                 target_seconds: float = 0.1, pipeline_depth: int = 2):
+        # software pipeline depth: how many blocks may be in flight between
+        # dispatch and completion.  Device→host result copies on a
+        # tunnel-attached TPU take ~25-50 ms to land after issue (fixed
+        # latency + ~45 MB/s wire); depth 2 shadows them with one full
+        # block of real-time arrival, keeping the blocking read near zero
+        # while adding at most one block of delivery latency.
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.fft_compression = fft_compression
         self.source = source
         self.audio_rate = audio_rate
@@ -522,7 +580,8 @@ class DeviceRuntime:
         want = max(1, int(round(self.in_rate * target_seconds)))
         self.block = ((want + req - 1) // req) * req
 
-        self.fft_chain = FftChain(fft_size, fft_fps)
+        self.fft_chain = FftChain(fft_size, fft_fps,
+                                  compress=(fft_compression == "adpcm"))
         self.fft_program = Program(self.fft_chain, spec, self.block)
         source.block_size = self.block
 
@@ -655,32 +714,40 @@ class DeviceRuntime:
         m_rt = m.direct(f"{prefix}.realtime_factor")
         rate = float(self.source.get_sample_rate() or 0)
         ema_ms = None
-        # one-deep software pipeline: dispatch block N to the device, then
-        # deliver block N−1's (already transferred) results.  Over a
-        # tunnel-attached TPU the device→host copies of block N stream back
-        # while the host waits for block N+1, so the per-block cost the
-        # loop pays is dispatch (~ms), not the transfer round trip.
-        pending = None
+        # depth-N software pipeline: dispatch block N to the device, then
+        # deliver the oldest in-flight block's (already transferred)
+        # results.  Over a tunnel-attached TPU the device→host copies of a
+        # block take ~25-50 ms to land after issue; each extra pipeline
+        # slot shadows them with a full block of real-time arrival, so the
+        # per-block cost the loop pays is dispatch (~ms), not the transfer
+        # round trip.
+        from collections import deque
+        pending = deque()
+
+        def drain_all():
+            while pending:
+                try:
+                    self._complete_block(pending.popleft())
+                except Exception:
+                    logger.exception("device %s block completion failed",
+                                     self.source.id)
+
         while self._running:
-            block = self.source.read_block(timeout=1.0)
+            # short timeout while blocks are in flight: a paused/slow
+            # stream must not hold completed results for the full idle
+            # timeout (their copies land within ~50 ms of dispatch)
+            block = self.source.read_block(timeout=0.06 if pending else 1.0)
             if block is None:
-                if pending is not None:
-                    try:
-                        self._complete_block(pending)
-                    except Exception:
-                        logger.exception("device %s block completion failed",
-                                         self.source.id)
-                    pending = None
+                drain_all()
                 continue
             t0 = _time.perf_counter()
             try:
-                nxt = self._dispatch_block(block)
-                if pending is not None:
-                    self._complete_block(pending)
-                pending = nxt
+                pending.append(self._dispatch_block(block))
+                if len(pending) >= self.pipeline_depth:
+                    self._complete_block(pending.popleft())
             except Exception:
                 logger.exception("device %s block processing failed", self.source.id)
-                pending = None
+                pending.clear()
                 continue
             dt = _time.perf_counter() - t0
             ema_ms = dt * 1e3 if ema_ms is None else ema_ms * 0.9 + dt * 1e3 * 0.1
@@ -692,11 +759,7 @@ class DeviceRuntime:
                 m_rate.set(round(len(block) / (ema_ms / 1e3)))
                 if rate:
                     m_rt.set(round(len(block) / (ema_ms / 1e3) / rate, 2))
-        if pending is not None:
-            try:
-                self._complete_block(pending)
-            except Exception:
-                pass
+        drain_all()
 
     def _process_block(self, block: np.ndarray):
         """Synchronous dispatch+complete (kept for tests/direct callers;
@@ -747,10 +810,14 @@ class DeviceRuntime:
         # the shared FftChain)
         if fft_pending is not None:
             rows, _ = self.fft_program.fetch(*fft_pending)
-            rows_np = np.asarray(rows)
+            rows_np = np.atleast_2d(np.asarray(rows))
             if self.fft_compression == "adpcm":
-                from openwebrx_tpu.ops.adpcm import compress_fft_rows
-                payloads = compress_fft_rows(rows_np)
+                # rows arrive ADPCM-compressed from the device program
+                # (WaterfallStage compress=True): int32 words → wire bytes
+                nb = self.fft_chain.waterfall.wire_bytes_per_row
+                raw = rows_np.view(np.uint8).reshape(rows_np.shape[0], -1)
+                payloads = [raw[i, :nb].tobytes()
+                            for i in range(raw.shape[0])]
             else:
                 payloads = [row.astype(np.float32).tobytes() for row in rows_np]
             for cb in list(self.waterfall_subscribers):

@@ -75,12 +75,15 @@ class SubprocessPipeline:
     """
 
     def __init__(self, commandline: list[str], on_line, line_based: bool = True,
-                 on_exit=None, on_meta_line=None):
+                 on_exit=None, on_meta_line=None, on_stderr_line=None):
         self.commandline = commandline
         self.on_line = on_line
         self.line_based = line_based
         self.on_exit = on_exit
         self.on_meta_line = on_meta_line
+        # decoders that report status on stderr (dablin ensemble info,
+        # nrsc5 station lines) get a line-drain thread instead of DEVNULL
+        self.on_stderr_line = on_stderr_line
         self._proc: subprocess.Popen | None = None
         self._reader: threading.Thread | None = None
         self._meta_read_fd: int | None = None
@@ -105,8 +108,14 @@ class SubprocessPipeline:
                        else arg for arg in cmd]
             self._proc = subprocess.Popen(
                 cmd, stdin=subprocess.PIPE,
-                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                stdout=subprocess.PIPE,
+                stderr=(subprocess.PIPE if self.on_stderr_line is not None
+                        else subprocess.DEVNULL),
                 pass_fds=pass_fds)
+            if self.on_stderr_line is not None:
+                threading.Thread(target=self._drain_stderr,
+                                 args=(self._proc,), daemon=True,
+                                 name=f"err-{self.commandline[0]}").start()
             if meta_wfd is not None:
                 os.close(meta_wfd)  # child holds the only write end now
                 threading.Thread(target=self._drain_meta, daemon=True,
@@ -114,6 +123,15 @@ class SubprocessPipeline:
             self._reader = threading.Thread(target=self._drain, daemon=True,
                                             name=f"pipe-{self.commandline[0]}")
             self._reader.start()
+
+    def _drain_stderr(self, proc):
+        try:
+            for line in _iter_lines(proc.stderr.fileno()):
+                self.on_stderr_line(line.rstrip(b"\r"))
+        except (OSError, ValueError):
+            pass
+        except Exception:
+            logger.exception("stderr handler failed")
 
     def _drain_meta(self):
         rfd = self._meta_read_fd

@@ -8,6 +8,7 @@ These attach to SubprocessPipeline instances fed by the TPU demod chains.
 from __future__ import annotations
 
 import logging
+import os
 import re
 
 logger = logging.getLogger(__name__)
@@ -120,12 +121,16 @@ class EasParser:
             path = Config.get().get("eas_fips_path")
         except Exception:
             pass
-        if path:
-            try:
-                from openwebrx_tpu.services.eas import load_county_db
-                self._county_db = load_county_db(path)
-            except OSError:
-                pass
+        if not path:
+            # bundled seed table (major-metro counties; full census table
+            # drops in via the eas_fips_path config — see the CSV header)
+            path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "data", "eas_fips.csv")
+        try:
+            from openwebrx_tpu.services.eas import load_county_db
+            self._county_db = load_county_db(path)
+        except OSError:
+            pass
 
     def parse(self, line: bytes):
         from openwebrx_tpu.services.eas import decode_same

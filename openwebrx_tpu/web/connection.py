@@ -490,6 +490,11 @@ class ReceiverConnection:
             self.handle.audio_cb = None  # mute the bank path
         self.exec_audio = ExecAudioHandle(self.device, mode, self._offset)
         self.exec_audio.audio_cb = self._on_audio
+        # DRM status socket / DAB ensemble labels / HDR station info feed
+        # the MetaPanel family (reference metadata flow, owrx/drm.py +
+        # csdr/chain/dablin.py MetaProcessor passthrough)
+        self.exec_audio.meta_cb = lambda meta: self.send_json(
+            {"type": "metadata", "value": meta})
 
     def _set_digital_voice(self, mode: str | None):
         """Attach/detach a digital-voice mode (DMR/YSF/D-Star/NXDN): TPU

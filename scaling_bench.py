@@ -79,53 +79,84 @@ def run_cluster(num_processes: int, channels: int):
     return min(o["samples_per_s"] for o in outs)
 
 
-def run_virtual_mesh():
-    """In-process weak scaling on the virtual CPU mesh (ICI analog):
-    the worker script measures 1 device (CH channels) vs 2 devices
-    (2·CH channels) inside ONE process, pinned to the 2 physical cores."""
-    code = f"""
-import os, time
+_VIRTUAL_LEG = """
+import os, sys, time
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+ndev, ch, blocks = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%d" % ndev
 import numpy as np, jax, json
 from openwebrx_tpu.parallel.cluster import ClusterInfo, DistributedReceiver
 from openwebrx_tpu.runtime.channelized import ChannelizedBank
 
-def leg(ndev, ch, blocks={BLOCKS}, seconds=0.4):
-    devs = jax.devices()[:ndev]
-    bank = ChannelizedBank(48000.0*ch, ch, mode="usb", compression="none",
-                           target_seconds=seconds)
-    for k in range(ch):
-        bank.assign(float((k-ch//2)*48000.0*0.9))
-    rx = DistributedReceiver(bank, ClusterInfo(0,1,ndev,ndev), devices=devs)
-    rng = np.random.default_rng(0)
-    xs = [(rng.standard_normal(bank.block)+1j*rng.standard_normal(bank.block)
-          ).astype(np.complex64)*0.1 for _ in range(3)]
-    for i in range(2):
-        rx.process_local(xs[i%3])
-    t0 = time.perf_counter()
-    for i in range(blocks):
-        rx.process_local(xs[i%3])
-    return bank.block*blocks/(time.perf_counter()-t0)
-
-s1 = leg(1, {CH_PER_HOST}); s2 = leg(2, {2 * CH_PER_HOST})
-print(json.dumps({{"s1": s1, "s2": s2}}))
+bank = ChannelizedBank(48000.0*ch, ch, mode="usb", compression="none",
+                       target_seconds=0.4)
+for k in range(ch):
+    bank.assign(float((k-ch//2)*48000.0*0.9))
+rx = DistributedReceiver(bank, ClusterInfo(0, 1, ndev, ndev),
+                         devices=jax.devices()[:ndev])
+rng = np.random.default_rng(0)
+xs = [(rng.standard_normal(bank.block)+1j*rng.standard_normal(bank.block)
+      ).astype(np.complex64)*0.1 for _ in range(3)]
+for i in range(2):
+    rx.process_local(xs[i%3])
+# one-deep pipeline: host packing/readback overlaps device compute
+t0 = time.perf_counter()
+pend = None
+for i in range(blocks):
+    nxt = rx.dispatch_local(xs[i%3])
+    if pend is not None:
+        rx.complete_local(pend)
+    pend = nxt
+rx.complete_local(pend)
+print(json.dumps({"sps": bank.block*blocks/(time.perf_counter()-t0)}))
 """
-    out = subprocess.run([sys.executable, "-c", code], env=_worker_env(),
-                         capture_output=True, text=True, timeout=900)
+
+
+def run_virtual_leg(ndev: int, channels: int):
+    """One virtual-mesh leg in its own subprocess, CPU-pinned so each
+    device sees fixed compute resources: 1 device → 1 core, ≥2 devices →
+    both cores (the box has 2; 4/8-device legs oversubscribe them, see
+    run_virtual_mesh).  Without pinning the 1-device baseline uses BOTH
+    cores through XLA's intra-op pool and the 2-device leg can never reach
+    2× — that measurement artifact was round 2's 0.61 "efficiency"."""
+    ncores = os.cpu_count() or 1
+    cores = "0" if ndev == 1 else ",".join(
+        str(c) for c in range(min(ndev, ncores)))
+    out = subprocess.run(
+        ["taskset", "-c", cores, sys.executable, "-c", _VIRTUAL_LEG,
+         str(ndev), str(channels), str(BLOCKS)],
+        env=_worker_env(), capture_output=True, text=True, timeout=900)
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
-    res = json.loads([ln for ln in out.stdout.splitlines()
-                      if ln.startswith("{")][-1])
-    return res["s1"], res["s2"]
+    return json.loads([ln for ln in out.stdout.splitlines()
+                       if ln.startswith("{")][-1])["sps"]
+
+
+def run_virtual_mesh():
+    """Weak-scaling curve on the virtual CPU mesh (ICI analog), 1→2→4→8
+    devices, CH_PER_HOST channels per device.  The headline efficiency is
+    s2/(2·s1) with one physical core per device (true weak scaling).  The
+    4- and 8-device legs share the same 2 cores, so their ideal throughput
+    is FLAT vs the 2-device leg (total work scales with devices, compute
+    resources don't); s_n/s_2 therefore isolates how collective + host
+    overhead grows with mesh size — the thing that matters at pod scale —
+    rather than re-measuring core count."""
+    curve = {}
+    for ndev in (1, 2, 4, 8):
+        curve[ndev] = run_virtual_leg(ndev, CH_PER_HOST * ndev)
+        print(f"virtual mesh {ndev} dev × {CH_PER_HOST} ch: "
+              f"{curve[ndev] / 1e6:.3f} MS/s", flush=True)
+    return curve
 
 
 def main():
-    s1v, s2v = run_virtual_mesh()
-    eff_virtual = s2v / (2 * s1v)
-    print(f"virtual mesh: 1 dev {s1v / 1e6:.3f} MS/s, "
-          f"2 dev {s2v / 1e6:.3f} MS/s, eff={eff_virtual:.3f}", flush=True)
+    vcurve = run_virtual_mesh()
+    eff_virtual = vcurve[2] / (2 * vcurve[1])
+    overhead = {str(n): round(vcurve[n] / vcurve[2], 4) for n in (4, 8)}
+    print(f"virtual mesh eff(2dev/core-scaled)={eff_virtual:.3f}, "
+          f"fixed-core overhead curve 4dev={overhead['4']} "
+          f"8dev={overhead['8']}", flush=True)
     results = {}
     for n in (1, 2):
         sps = run_cluster(n, CH_PER_HOST * n)
@@ -136,10 +167,17 @@ def main():
     doc = {
         "metric": "weak_scaling_efficiency_virtual_mesh",
         "value": round(eff_virtual, 4),
-        "unit": "fraction (2 devices vs 2x 1 device, in-process)",
+        "unit": "fraction (2 devices vs 2x 1 device, 1 core per device)",
         "vs_baseline": round(eff_virtual / 0.85, 4),
-        "virtual_mesh": {"curve": {"1": s1v, "2": s2v},
+        "virtual_mesh": {"curve": {str(n): vcurve[n] for n in vcurve},
                          "efficiency": round(eff_virtual, 4),
+                         "fixed_core_throughput_vs_2dev": overhead,
+                         "note": "1- and 2-device legs get one physical "
+                                 "core per device (true weak scaling); "
+                                 "4/8-device legs share the same 2 cores, "
+                                 "so ideal throughput is flat and "
+                                 "s_n/s_2 isolates collective+host "
+                                 "overhead growth with mesh size",
                          "collectives": "in-process XLA (ICI analog)"},
         "two_process_cluster": {
             "curve": {str(n): results[n] for n in results},

@@ -171,3 +171,26 @@ class TestWaterfallChain:
         peak = rows[-1].argmax()
         expected = 4096 // 2 + int(round(0.13 * 4096))
         assert abs(int(peak) - expected) <= 1
+
+    def test_compressed_waterfall_matches_host_encoder(self):
+        """WaterfallStage(compress=True) must emit byte-identical wire
+        payloads to the host-side compress_fft_rows path (the browser
+        decoder is shared; reference FftAdpcm, csdr/chain/fft.py:44)."""
+        from openwebrx_tpu.ops.adpcm import compress_fft_rows
+        from openwebrx_tpu.runtime.chain import Program
+        spec = StreamSpec(Format.COMPLEX_FLOAT, FS)
+        plain = FftChain(fft_size=512, fps=20)
+        packed = FftChain(fft_size=512, fps=20, compress=True)
+        block = plan_block_size(plain, spec, 0.2)
+        rng = np.random.default_rng(3)
+        x = ((rng.standard_normal(block) + 1j * rng.standard_normal(block))
+             * 0.2).astype(np.complex64)
+        rows, _ = Program(plain, spec, block).process(x)
+        words, _ = Program(packed, spec, block).process(x)
+        ref = compress_fft_rows(np.asarray(rows))
+        nb = packed.waterfall.wire_bytes_per_row
+        raw = np.atleast_2d(np.asarray(words))
+        raw = raw.view(np.uint8).reshape(raw.shape[0], -1)
+        assert raw.shape[0] == len(ref)
+        for i, expected in enumerate(ref):
+            assert raw[i, :nb].tobytes() == expected

@@ -86,3 +86,18 @@ def test_parser_emits_decoded_message():
     assert got[0]["areas"][0]["state"] == "California"
     assert "Civil authorities" in got[0]["text"]
     assert got[1] == {"mode": "EAS", "eom": True}
+
+
+def test_bundled_fips_table_names_counties():
+    """Without eas_fips_path configured the parser falls back to the
+    bundled census seed table — alerts name the county like the
+    reference's vendored dsame3 output (owrx/dsame3/dsame.py:278)."""
+    got = []
+    parser = EasParser(got.append)
+    assert parser._county_db, "bundled data/eas_fips.csv must load"
+    parser.parse(b"EAS: ZCZC-WXR-TOR-006037-048201+0100-0561930-KLAX/NWS-")
+    areas = got[0]["areas"]
+    assert areas[0]["county"] == "Los Angeles"
+    assert "Los Angeles, California" in got[0]["text"]
+    assert areas[1]["county"] == "Harris"
+    assert "Harris, Texas" in got[0]["text"]

@@ -151,3 +151,20 @@ class TestCacheLifecycle:
         # a new instance loads from the cache file without network
         again = Flaky("flaky.json")
         assert again.get_all() == [{"ok": True}]
+
+
+class TestBundledEibiLocations:
+    def test_bundled_sample_loads_when_no_user_file(self, data_dir):
+        # no eibi-locations.json in the data dir → bundled sample is used
+        agent = EibiAgent()
+        assert agent.locations, "bundled data/eibi-locations.json must load"
+        assert "__doc__" not in agent.locations
+        site = agent.locations["D-NAU"][0]
+        assert site["name"] == "Nauen"
+        assert 50 < site["lat"] < 55 and 10 < site["lon"] < 15
+
+    def test_user_file_takes_precedence(self, data_dir):
+        (data_dir / "eibi-locations.json").write_text(json.dumps(
+            {"D-NAU": [{"name": "Override", "lat": 1.0, "lon": 2.0}]}))
+        agent = EibiAgent()
+        assert agent.locations["D-NAU"][0]["name"] == "Override"
