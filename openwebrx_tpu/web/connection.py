@@ -317,6 +317,25 @@ class ReceiverConnection:
         else:
             logger.warning("unknown message type: %s", mtype)
 
+    def _rig_sync(self, mod: str | None = None):
+        """Mirror tuning/mode onto a hamlib transceiver when enabled.
+
+        Reference: ``owrx/rigcontrol.py:321-324`` wires offset_freq /
+        center_freq / mod properties; we feed the singleton directly from
+        the dspcontrol path.
+        """
+        from openwebrx_tpu.core.rigcontrol import RigControl
+        rig = RigControl.shared()
+        if not rig.enabled or self.device is None:
+            return
+        try:
+            rig.retune(self.device.source.get_center_freq(),
+                       getattr(self, "_offset", 0.0))
+            if mod is not None:
+                rig.set_mode(mod)
+        except Exception:
+            logger.exception("rig sync failed")
+
     def set_dsp_properties(self, params: dict):
         if self.handle is None:
             return
@@ -356,12 +375,14 @@ class ReceiverConnection:
                 except KeyError:
                     self.send_json({"type": "demodulator_error",
                                     "value": f"mode {mod} not supported yet"})
+            self._rig_sync(mod=mod)
         if "secondary_mod" in params:
             sec = params["secondary_mod"]
             self._set_secondary(sec if sec else None)
         if "offset_freq" in params:
             self._offset = float(params["offset_freq"])
             self.handle.set_offset(self._offset)
+            self._rig_sync()
             if self.secondary is not None:
                 self.secondary.set_offset(self._offset)
             if getattr(self, "exec_audio", None) is not None:

@@ -99,6 +99,22 @@ def _opt(value, label=None):
 # (owrx/controllers/settings/{general,decoding,backgrounddecoding,
 # reporting}.py); TPU-specific keys appended where the runtime differs.
 
+
+def _rig_section() -> Section:
+    """Rig control form: hamlib model selectable by name (reference
+    owrx/rigcontrol.py:14-301 RIGS table feeds the settings dropdown)."""
+    from openwebrx_tpu.core.rigcontrol import rig_models
+    return Section("Rig control", [
+        Field("rig_enabled", "Mirror tuning to a transceiver", "checkbox"),
+        Field("rig_model", "Rig model", "dropdown",
+              options=[_opt(m["id"], m["label"]) for m in rig_models()]),
+        Field("rig_device", "Rig device",
+              infotext="serial port or rigctld host:port"),
+        Field("rig_address", "CI-V / bus address", "number",
+              minimum=0, maximum=255, infotext="0 = not used"),
+    ])
+
+
 PAGES: dict[str, list[Section]] = {
     "general": [
         Section("Receiver information", [
@@ -160,6 +176,7 @@ PAGES: dict[str, list[Section]] = {
             Field("tpu_channel_capacity", "Channel slots per mode bucket",
                   "number", minimum=1),
         ]),
+        _rig_section(),
     ],
     "decoding": [
         Section("Decoding queue", [
@@ -343,4 +360,7 @@ def apply_page(page: str, body: dict) -> dict:
     config = Config.get()
     for key, value in converted.items():
         config[key] = value
+    if any(k.startswith("rig_") for k in converted):
+        from openwebrx_tpu.core.rigcontrol import RigControl
+        RigControl.shared().apply_config()
     return converted

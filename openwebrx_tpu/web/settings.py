@@ -36,6 +36,7 @@ EDITABLE_KEYS = [
     "aprs_callsign", "aprs_igate_enabled",
     "keep_files", "session_timeout", "ui_theme", "bot_ban_enabled",
     "tpu_block_seconds", "tpu_channel_capacity",
+    "rig_enabled", "rig_model", "rig_device", "rig_address",
     "sdrs",
 ]
 
