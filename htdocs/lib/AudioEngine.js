@@ -45,8 +45,10 @@ class AdpcmCodec {
 }
 
 /* Streaming audio decoder with SYNC-frame resynchronisation: the server
- * embeds "SYNC" + int16 index/predictor every 1000 bytes so a client can
- * join (or recover from loss) mid-stream. */
+ * embeds "SYNC" + int16 index/predictor every 100 data bytes — that state
+ * is the encoder's per-stride adaptation reseed (the TPU encoder encodes
+ * strides in parallel), and it also lets a client join (or recover from
+ * loss) mid-stream. */
 class SyncAudioDecoder {
   constructor() { this.codec = new AdpcmCodec(); this.phase = 0;
                   this.matched = 0; this.syncBuf = []; this.counter = 0; }
@@ -62,7 +64,7 @@ class SyncAudioDecoder {
           const dv = new DataView(new Uint8Array(this.syncBuf).buffer);
           this.codec.idx = dv.getInt16(0, true);
           this.codec.pred = dv.getInt16(2, true);
-          this.counter = 999; this.phase = 2;   /* 1000 data bytes/frame */
+          this.counter = 99; this.phase = 2;    /* 100 data bytes/frame */
         }
       } else {
         out.push(this.codec.nibble(b & 0x0f), this.codec.nibble(b >> 4));

@@ -187,6 +187,40 @@ uint64_t iq_ring_read(Ring* r, float* out, uint64_t n, int timeout_ms) {
     return done;
 }
 
+// like iq_ring_read but emits int16 wire samples (clamped ±1.0 → ±32767):
+// the host→TPU transfer of a block is then half the bytes of float32 —
+// the production transport for s16-native SDRs, converted to float on the
+// accelerator itself (runtime/chain.py _unpack_leaf)
+uint64_t iq_ring_read_s16(Ring* r, int16_t* out, uint64_t n, int timeout_ms) {
+    uint64_t deadline_spins = static_cast<uint64_t>(timeout_ms) * 10;
+    uint64_t spins = 0;
+    uint64_t done = 0;
+    while (done < n) {
+        uint64_t head = r->head.load(std::memory_order_acquire);
+        uint64_t tail = r->tail.load(std::memory_order_relaxed);
+        uint64_t avail = head - tail;
+        if (avail == 0) {
+            if (r->eof.load() || !r->running.load()) break;
+            if (++spins > deadline_spins) break;
+            usleep(100);
+            continue;
+        }
+        uint64_t take = avail < (n - done) ? avail : (n - done);
+        for (uint64_t i = 0; i < take; i++) {
+            uint64_t idx = (tail + i) & r->mask;
+            for (int c = 0; c < 2; c++) {
+                float v = r->data[idx * 2 + c] * 32768.0f;
+                if (v > 32767.0f) v = 32767.0f;
+                if (v < -32768.0f) v = -32768.0f;
+                out[(done + i) * 2 + c] = static_cast<int16_t>(v);
+            }
+        }
+        r->tail.store(tail + take, std::memory_order_release);
+        done += take;
+    }
+    return done;
+}
+
 uint64_t iq_ring_available(Ring* r) {
     return r->head.load(std::memory_order_acquire) -
            r->tail.load(std::memory_order_relaxed);

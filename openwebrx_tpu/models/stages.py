@@ -526,7 +526,7 @@ class WaterfallStage(OpStage):
         if extra:
             s = jnp.concatenate(
                 [s, jnp.repeat(s[..., -1:], extra, axis=-1)], axis=-1)
-        _, (bytes_, _stride) = adpcm.adpcm_encode(
+        _, (bytes_, _stride) = adpcm.adpcm_encode_seq(
             adpcm.adpcm_init(s.shape[:-1]), s)
         words = jax.lax.bitcast_convert_type(
             bytes_.reshape(bytes_.shape[:-1] + (bytes_.shape[-1] // 4, 4)),

@@ -51,6 +51,9 @@ def _load():
         lib.iq_ring_read.restype = ctypes.c_uint64
         lib.iq_ring_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_uint64, ctypes.c_int]
+        lib.iq_ring_read_s16.restype = ctypes.c_uint64
+        lib.iq_ring_read_s16.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_uint64, ctypes.c_int]
         lib.iq_ring_available.restype = ctypes.c_uint64
         lib.iq_ring_available.argtypes = [ctypes.c_void_p]
         lib.iq_ring_overruns.restype = ctypes.c_uint64
@@ -92,6 +95,22 @@ class IqIngest:
         with no data)."""
         out = np.empty(n_samples, np.complex64)
         got = self._lib.iq_ring_read(
+            self._ring, out.ctypes.data_as(ctypes.c_void_p), n_samples,
+            int(timeout * 1000))
+        if got == 0:
+            return None
+        if got < n_samples:
+            out[got:] = 0
+        return out
+
+    def read_block_packed(self, n_samples: int,
+                          timeout: float = 2.0) -> np.ndarray | None:
+        """Blocking read of exactly n samples as packed (n, 2) int16 wire
+        samples (±32767 ↔ ±1.0) — HALF the host→device bytes of complex64;
+        the jit boundary converts to float on the accelerator
+        (runtime/chain.py _unpack_leaf)."""
+        out = np.empty((n_samples, 2), np.int16)
+        got = self._lib.iq_ring_read_s16(
             self._ring, out.ctypes.data_as(ctypes.c_void_p), n_samples,
             int(timeout * 1000))
         if got == 0:

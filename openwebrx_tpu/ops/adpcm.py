@@ -69,23 +69,28 @@ def _bit(nib, diff, delta, stepval, bit):
     return nib, diff, delta
 
 
-# codec-state export granularity (bytes): sync cuts land only on stride
-# multiples, so SYNC_INTERVAL % STATE_STRIDE == 0 and block byte counts are
-# forced to stride multiples (AdpcmEncodeStage.divisor).  200 keeps the
-# state export at 0.5 % of the audio volume (device→host readback is the
-# scarce resource on tunnel-attached chips).
-STATE_STRIDE = 200
+# codec-state export granularity (bytes).  The AUDIO encoder resets its
+# adaptation at every stride boundary (the reset state rides the wire in
+# the sync header — SYNC_INTERVAL == STATE_STRIDE), which makes strides
+# INDEPENDENT: the encode scan runs STATE_STRIDE steps with channels ×
+# strides lanes instead of a whole block of sequential steps.  A serial
+# IMA scan is the single most expensive op of the multichannel audio path
+# on TPU (tiny per-step VPU work at op-issue latency); strides cut the
+# sequential depth 4× here.  100 bytes = 16.7 ms of 12 kHz audio per
+# adaptation restart; the header overhead is 8/108 ≈ 7 % of the audio
+# wire (≈ 0.5 kB/s per listener).
+STATE_STRIDE = 100
 
 
-def adpcm_encode(state, samples: jnp.ndarray):
-    """Encode int16-range samples (..., 2N) → (new_state, (bytes, stride)).
+def adpcm_encode_seq(state, samples: jnp.ndarray):
+    """Sequential (exact-IMA) encode: int16-range samples (..., 2N) →
+    (new_state, (bytes (..., N) uint8, stride (..., N/STATE_STRIDE) int32)).
 
-    bytes: (..., N) uint8.  stride: (..., N/STATE_STRIDE) int32 — the codec
-    state AFTER every STATE_STRIDE-th byte, packed (predictor << 16) | index.
-    The host SyncFramer cuts sync frames only at stride multiples (the
-    sync interval is a stride multiple), so this is all the state it needs
-    — exporting full per-byte state was 80 % of the audio readback volume.
-    Requires N % STATE_STRIDE == 0 (AdpcmEncodeStage.divisor).
+    Used for waterfall rows, whose wire format carries no intra-row codec
+    state (the client decodes a whole row continuously from a fresh codec,
+    reference csdr/chain/fft.py:44) — so the encoder must be bit-exact
+    continuous IMA.  stride = codec state AFTER every STATE_STRIDE-th
+    byte, packed (predictor << 16) | (index & 0xFFFF).
     """
     x = jnp.moveaxis(samples.astype(jnp.int32), -1, 0)  # (2N, ...)
     pairs = x.reshape(x.shape[0] // 2, 2, *x.shape[1:])
@@ -100,6 +105,60 @@ def adpcm_encode(state, samples: jnp.ndarray):
     state, (bytes_, packed) = jax.lax.scan(step, state, pairs)
     stride = packed[STATE_STRIDE - 1::STATE_STRIDE]
     return state, (jnp.moveaxis(bytes_, 0, -1), jnp.moveaxis(stride, 0, -1))
+
+
+def _estimate_index(xs: jnp.ndarray) -> jnp.ndarray:
+    """Per-stride IMA step-index estimate: the table index whose step best
+    tracks the stride's mean |Δx| (what the adaptation would converge to)."""
+    md = jnp.abs(jnp.diff(xs, axis=-1)).astype(jnp.float32).mean(axis=-1)
+    table = jnp.asarray(IMA_STEP_TABLE, jnp.float32)
+    return jnp.clip(jnp.searchsorted(table, md), 0, 88).astype(jnp.int32)
+
+
+def adpcm_encode(state, samples: jnp.ndarray):
+    """Stride-parallel IMA encode for the AUDIO path: int16-range samples
+    (..., 2N) → (new_state, (bytes (..., N) uint8, stride int32)).
+
+    Each STATE_STRIDE-byte stride encodes independently from a reseeded
+    state: predictor = the raw sample just before the stride (exact, no
+    discontinuity), step index = estimated from the PREVIOUS stride's
+    dynamics (so the state is known before the stride's data — the exported
+    stride array carries exactly these reseeds, and the SyncFramer emits a
+    sync header at EVERY stride boundary, so the client decoder adopts the
+    same state the encoder used; nothing ever desyncs).  The scan is
+    STATE_STRIDE steps deep with (channels × strides) lanes — ~N/STRIDE×
+    less sequential depth than exact IMA, the TPU-first trade.
+
+    stride[..., i] = start state of stride i+1 (== "state after byte
+    (i+1)·STRIDE" as far as the wire is concerned).  Requires
+    N % STATE_STRIDE == 0 (AdpcmEncodeStage.divisor).
+    """
+    x = samples.astype(jnp.int32)
+    batch = x.shape[:-1]
+    n = x.shape[-1] // 2                      # bytes this block
+    s = n // STATE_STRIDE                     # strides this block
+    xs = x.reshape(*batch, s, 2 * STATE_STRIDE)
+    pred0, idx0 = state
+    # start states per stride: (raw sample before stride, index estimated
+    # from the stride BEFORE it); stride 0 uses the carried block state
+    prev = jnp.concatenate(
+        [pred0[..., None], xs[..., :-1, -1]], axis=-1)          # (..., s)
+    est = _estimate_index(xs)                                    # (..., s)
+    idxs = jnp.concatenate([idx0[..., None], est[..., :-1]], axis=-1)
+    pairs = jnp.moveaxis(                                        # (STRIDE, ..., s, 2)
+        xs.reshape(*batch, s, STATE_STRIDE, 2), -2, 0)
+
+    def step(carry, pair):
+        carry, lo = _encode_nibble(carry, pair[..., 0])
+        carry, hi = _encode_nibble(carry, pair[..., 1])
+        return carry, (lo | (hi << 4)).astype(jnp.uint8)
+
+    _, bytes_ = jax.lax.scan(step, (prev, idxs), pairs)
+    bytes_ = jnp.moveaxis(bytes_, 0, -1).reshape(*batch, n)
+    # exported reseeds: start state of each FOLLOWING stride
+    stride = ((xs[..., :, -1] & 0xFFFF) << 16) | (est & 0xFFFF)
+    new_state = (xs[..., -1, -1], est[..., -1])
+    return new_state, (bytes_, stride)
 
 
 def pack_codec_state(pred, idx):
@@ -176,15 +235,18 @@ def compress_fft_rows(rows_db: np.ndarray):
 # "boundary codecs").
 @jax.jit
 def _encode_jit(state, samples):
-    _, (bytes_, _stride) = adpcm_encode(state, samples)
+    # waterfall rows: exact continuous IMA (no intra-row state on the wire)
+    _, (bytes_, _stride) = adpcm_encode_seq(state, samples)
     return jax.lax.bitcast_convert_type(
         bytes_.reshape(bytes_.shape[:-1] + (bytes_.shape[-1] // 4, 4)),
         jnp.int32)
 
 
-# data bytes per sync frame (see AudioEngine.js SyncAudioDecoder) — a
-# multiple of STATE_STRIDE so every cut lands on an exported-state boundary
-SYNC_INTERVAL = 1000
+# data bytes per sync frame (see AudioEngine.js SyncAudioDecoder).  Equal
+# to STATE_STRIDE: the stride-parallel audio encoder reseeds its adaptation
+# at every stride boundary, and the sync header is how that reseed reaches
+# the client decoder — every cut lands exactly on an exported-state stride.
+SYNC_INTERVAL = STATE_STRIDE
 
 
 class SyncFramer:

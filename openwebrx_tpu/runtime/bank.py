@@ -46,8 +46,23 @@ class ChannelBank:
         self._high = np.full(capacity, float(hi))
         self._nr = np.full(capacity, -100.0, np.float32)  # ≤ −100 ⇒ NR off
         spec = StreamSpec(Format.COMPLEX_FLOAT, in_rate)
-        self.block = block if block is not None else plan_block_size(
-            self.chain, spec, target_seconds)
+        # `block` is the DEVICE block (the runtime's dispatch cadence).  A
+        # chain whose own block requirement exceeds it (e.g. WFM's long
+        # resampler chain) accumulates chunk_ratio device chunks on-device
+        # and dispatches every Nth block — the device cadence (and thus
+        # every OTHER bucket's latency) is not held hostage by the worst
+        # chain's LCM.
+        self.chunk_ratio = 1
+        if block is not None:
+            from math import gcd
+            from openwebrx_tpu.models.stages import block_requirement
+            req = block_requirement(self.chain, spec)
+            bank_block = block * req // gcd(block, req)
+            self.chunk_ratio = bank_block // block
+            self.block = bank_block
+        else:
+            self.block = plan_block_size(self.chain, spec, target_seconds)
+        self._accum: list = []
         self.program = Program(self.chain, spec, self.block,
                                batch_shape=(capacity,))
         self._push_params()
@@ -105,6 +120,21 @@ class ChannelBank:
         self.chain.audio.noise_filter.set_threshold(self._nr)
 
     # ------------------------------------------------------------ stream --
+    def feed_dispatch(self, xdev):
+        """Feed one packed device chunk (device-block samples, shape
+        (block, 2) float32, already on device).  Returns the program's
+        pending outputs when a full bank block was dispatched, else None
+        (chunk buffered on-device until chunk_ratio chunks arrived)."""
+        if self.chunk_ratio == 1:
+            return self.program.dispatch(xdev)
+        self._accum.append(xdev)
+        if len(self._accum) < self.chunk_ratio:
+            return None
+        import jax.numpy as jnp
+        x = jnp.concatenate(self._accum, axis=0)
+        self._accum = []
+        return self.program.dispatch(x)
+
     def process(self, iq_block):
         """iq_block (block,) complex64 → (audio (capacity, out_block), aux).
 

@@ -199,8 +199,12 @@ def _pack_leaf(v):
 
 
 def _unpack_leaf(v, was_complex: bool):
-    """Inside jit: packed (..., 2) float32 → complex64."""
+    """Inside jit: packed (..., 2) float32 (or int16 wire samples, what SDR
+    connectors deliver — converted to ±1.0 float HERE so the host→device
+    transfer stays at 4 bytes/sample) → complex64."""
     if was_complex:
+        if v.dtype == jnp.int16:
+            v = v.astype(jnp.float32) * (1.0 / 32768.0)
         return jax.lax.complex(v[..., 0], v[..., 1])
     return v
 
@@ -241,6 +245,18 @@ def host_pack_complex(x: np.ndarray) -> np.ndarray:
     """Host side: np complex64 → zero-copy (..., 2) float32 view."""
     x = np.ascontiguousarray(x, dtype=np.complex64)
     return x.view(np.float32).reshape(x.shape + (2,))
+
+
+def host_as_complex64(block: np.ndarray) -> np.ndarray:
+    """Host side: any source block form → complex64 samples.  Accepts
+    complex64 (legacy sources), packed (n, 2) float32, or packed (n, 2)
+    int16 wire samples (±32767 ↔ ±1.0)."""
+    if np.iscomplexobj(block):
+        return np.ascontiguousarray(block, np.complex64)
+    if block.dtype == np.int16:
+        f = block.astype(np.float32) * (1.0 / 32768.0)
+        return f.view(np.complex64)[..., 0]
+    return np.ascontiguousarray(block, np.float32).view(np.complex64)[..., 0]
 
 
 def host_unpack_complex(v) -> np.ndarray:
@@ -330,8 +346,10 @@ class Program:
         if self._in_complex:
             if getattr(x, "ndim", 0) >= 2 and x.shape[-1] == 2 \
                     and x.shape[-2] == self.block \
-                    and getattr(x, "dtype", None) == np.float32:
-                return x  # already packed (float32 (..., block, 2) pairs)
+                    and getattr(x, "dtype", None) in (np.float32, np.int16):
+                # already packed: float32 pairs, or int16 wire samples
+                # (converted to float on-device, half the transfer bytes)
+                return x
             if x.shape[-1] != self.block:
                 raise ValueError(
                     f"Program expects blocks of {self.block} samples, got "

@@ -153,10 +153,12 @@ class ChannelizedBank:
         (use with jax.device_put to stage benchmark input in HBM)."""
         return host_pack_complex(np.asarray(iq_block))
 
-    def dispatch(self, iq_block):
-        """iq_block (block,) complex64 (np) or packed (block, 2) float32
-        (np or device-resident) → in-flight packed (yp, auxp) device trees,
-        with device→host copies already streaming."""
+    def dispatch(self, iq_block, to_host: bool = True):
+        """iq_block (block,) complex64 (np) or packed (block, 2) float32 /
+        int16 (np or device-resident) → in-flight packed (yp, auxp) device
+        trees, with device→host copies already streaming.  to_host=False
+        skips initiating the copies — for consumers that keep results on
+        device (device-resident pipelines, cross-program fusion)."""
         if np.iscomplexobj(iq_block):
             if iq_block.shape[-1] != self.block:
                 raise ValueError(
@@ -168,11 +170,12 @@ class ChannelizedBank:
                 f"expected {self.block} complex samples (or packed "
                 f"({self.block}, 2) float32), got {iq_block.shape}")
         self.state, yp, auxp = self._step(self.state, self._params(), iq_block)
-        for leaf in jax.tree.leaves((yp, auxp)):
-            try:
-                leaf.copy_to_host_async()
-            except (AttributeError, RuntimeError):
-                pass
+        if to_host:
+            for leaf in jax.tree.leaves((yp, auxp)):
+                try:
+                    leaf.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass
         return yp, auxp
 
     def fetch(self, yp, auxp):

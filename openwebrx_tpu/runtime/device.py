@@ -564,6 +564,7 @@ class DeviceRuntime:
         from openwebrx_tpu.models.stages import block_requirement
         spec = StreamSpec(Format.COMPLEX_FLOAT, self.in_rate)
         req = 1
+        want = max(1, int(round(self.in_rate * target_seconds)))
         self.available_buckets = set()
         for bucket_mode in set(BUCKET_CHAIN_MODE.values()):
             try:
@@ -574,11 +575,17 @@ class DeviceRuntime:
                 # 250 kHz IF above the device sample rate) — not offered
                 continue
             r = block_requirement(proto, spec)
-            req = req * r // gcd(req, r)
+            # only chains with a requirement near the latency target set the
+            # device cadence; a long chain (WFM's resampler needs 0.2 s at
+            # 2.4 MS/s) instead accumulates device chunks inside its bank
+            # (ChannelBank.feed_dispatch), so ONE expensive mode doesn't
+            # drag every listener's latency to its LCM
+            if r <= 2 * want:
+                req = req * r // gcd(req, r)
             self.available_buckets.add(
                 next(b for b, m in BUCKET_CHAIN_MODE.items() if m == bucket_mode))
-        want = max(1, int(round(self.in_rate * target_seconds)))
-        self.block = ((want + req - 1) // req) * req
+        # floor-round toward the latency target (never below one requirement)
+        self.block = max(req, (want // req) * req)
 
         self.fft_chain = FftChain(fft_size, fft_fps,
                                   compress=(fft_compression == "adpcm"))
@@ -768,7 +775,9 @@ class DeviceRuntime:
 
     def _dispatch_block(self, block: np.ndarray) -> dict:
         import jax
-        from openwebrx_tpu.runtime.chain import host_pack_complex
+        from openwebrx_tpu.runtime.chain import (
+            host_as_complex64, host_pack_complex,
+        )
 
         with self._lock:
             banks = {k: b for k, b in self.banks.items() if b.n_active}
@@ -777,25 +786,34 @@ class DeviceRuntime:
 
         # ONE host→device transfer of the IQ block, shared by the waterfall
         # program and every bank (the tunnel transfer dominates per-program
-        # compute at interactive rates)
+        # compute at interactive rates).  int16-packed source blocks go up
+        # as-is — HALF the wire bytes — and become float on the device.
         want_fft = bool(self.waterfall_subscribers)
         if want_fft or banks:
-            xdev = jax.device_put(host_pack_complex(np.ascontiguousarray(block)))
+            if getattr(block, "dtype", None) == np.int16 and block.ndim == 2:
+                xdev = jax.device_put(np.ascontiguousarray(block))
+            else:
+                xdev = jax.device_put(
+                    host_pack_complex(np.ascontiguousarray(block)))
         # dispatch everything BEFORE fetching anything: JAX async dispatch
         # overlaps the programs' device work and result transfers
         fft_pending = self.fft_program.dispatch(xdev) if want_fft else None
         # snapshot each bank's program alongside its pending outputs: a
         # mode-switch rebuild between dispatch and complete must not make
-        # complete() unpack with the NEW program's masks
-        bank_pending = {bucket: (bank.program, bank.program.dispatch(xdev))
+        # complete() unpack with the NEW program's masks.  feed_dispatch
+        # returns None while a long-chain bank (WFM) is still accumulating
+        # device chunks toward its own larger block.
+        bank_pending = {bucket: (bank.program, bank.feed_dispatch(xdev))
                         for bucket, bank in banks.items()}
         # secondaries fetch internally; they run while the banks are in
         # flight (and only on their own block cadence)
-        for sec in secondaries:
-            try:
-                sec.feed(block)
-            except Exception:
-                logger.exception("secondary %s failed", sec.mode)
+        if secondaries:
+            cblock = host_as_complex64(block)
+            for sec in secondaries:
+                try:
+                    sec.feed(cblock)
+                except Exception:
+                    logger.exception("secondary %s failed", sec.mode)
         return {"banks": banks, "handles": handles,
                 "fft_pending": fft_pending, "bank_pending": bank_pending}
 
@@ -826,6 +844,8 @@ class DeviceRuntime:
         outputs = {}
         for bucket, bank in banks.items():
             program, pend = bank_pending[bucket]
+            if pend is None:      # accumulating bank: no results this block
+                continue
             y, aux = program.fetch(*pend)
             # ONE device→host transfer per bank (whole arrays), then numpy
             # slicing per handle — per-slot eager jax indexing from this

@@ -122,7 +122,10 @@ class ConnectorSource(SdrSource):
             raise ConnectionError(f"driver port {port} never came up: {last}")
         try:
             while not self._stop_requested:
-                block = ingest.read_block(self.block_size, timeout=2.0)
+                # packed (n, 2) int16 wire samples: half the host→device
+                # transfer bytes of complex64; the jit boundary converts to
+                # float on the accelerator (runtime/chain.py _unpack_leaf)
+                block = ingest.read_block_packed(self.block_size, timeout=2.0)
                 if block is None:
                     if ingest.eof:
                         raise ConnectionError("driver closed IQ stream")

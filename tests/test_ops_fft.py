@@ -97,6 +97,8 @@ class TestBandpassFft:
 
 class TestAdpcm:
     def test_roundtrip_snr(self):
+        """Wire-contract roundtrip: each STATE_STRIDE-byte stride decodes
+        from its exported reseed state (what the sync headers deliver)."""
         fs = 12000
         n = np.arange(fs)
         audio = (0.5 * np.sin(2 * np.pi * 440 / fs * n)).astype(np.float32)
@@ -104,26 +106,51 @@ class TestAdpcm:
         samples = (audio * 32767).astype(np.int16)
         import jax.numpy as jnp
         state, (bytes_, stride) = adpcm.adpcm_encode(state, jnp.asarray(samples))
-        decoded, _ = adpcm.adpcm_decode_np(bytes(np.asarray(bytes_)))
-        err = decoded.astype(np.float32) / 32767 - audio
-        snr = 10 * np.log10(np.mean(audio**2) / np.mean(err**2))
+        data = np.asarray(bytes_)
+        stride = np.asarray(stride)
+        decoded = []
+        st = (0, 0)
+        for k in range(len(data) // adpcm.STATE_STRIDE):
+            chunk = bytes(data[k * adpcm.STATE_STRIDE:(k + 1) * adpcm.STATE_STRIDE])
+            d, _ = adpcm.adpcm_decode_np(chunk, st)
+            decoded.append(d)
+            st = adpcm.unpack_codec_state(int(stride[k]))
+        decoded = np.concatenate(decoded)
+        m = len(decoded)
+        err = decoded.astype(np.float32) / 32767 - audio[:m]
+        snr = 10 * np.log10(np.mean(audio[:m] ** 2) / np.mean(err**2))
         assert snr > 25, f"ADPCM SNR {snr:.1f} dB"
 
-    def test_state_snapshots_match_decoder(self):
+    def test_seq_state_snapshots_match_decoder(self):
+        """The sequential (waterfall-row) encoder keeps the exact-IMA
+        invariant: exported stride state == continuous decoder state."""
         rng = np.random.default_rng(2)
         audio = (rng.standard_normal(2000) * 8000).astype(np.int16)
         import jax.numpy as jnp
         state = adpcm.adpcm_init()
-        state, (bytes_, stride) = adpcm.adpcm_encode(state, jnp.asarray(audio))
+        state, (bytes_, stride) = adpcm.adpcm_encode_seq(state, jnp.asarray(audio))
         data = bytes(np.asarray(bytes_))
         stride = np.asarray(stride)
-        # decode first k bytes (stride multiples); decoder state must equal
-        # the encoder's exported stride-state snapshot
         for k in (200, 400, 1000):
             _, (pred, idx) = adpcm.adpcm_decode_np(data[:k])
             spred, sidx = adpcm.unpack_codec_state(stride[k // adpcm.STATE_STRIDE - 1])
             assert pred == spred
             assert idx == sidx
+
+    def test_strided_reseed_is_exact_predictor(self):
+        """The strided encoder's exported reseeds: predictor equals the raw
+        sample just before the stride, so the decoder restarts with zero
+        predictor discontinuity."""
+        rng = np.random.default_rng(9)
+        audio = (rng.standard_normal(1000) * 8000).astype(np.int16)
+        import jax.numpy as jnp
+        _, (_b, stride) = adpcm.adpcm_encode(adpcm.adpcm_init(),
+                                             jnp.asarray(audio))
+        stride = np.asarray(stride)
+        for k in range(len(stride)):
+            pred, idx = adpcm.unpack_codec_state(int(stride[k]))
+            assert pred == int(audio[(k + 1) * 2 * adpcm.STATE_STRIDE - 1])
+            assert 0 <= idx <= 88
 
     def test_sync_framer_stream(self):
         rng = np.random.default_rng(3)
