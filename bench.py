@@ -20,12 +20,22 @@ multiple, and per-block processing latency.
 Config #5's input blocks are staged in HBM before timing: a production
 deployment streams IQ into device memory via the host DMA path (tens of
 GB/s on a v5e host), while this dev environment reaches its chip through
-a network tunnel whose ~1.4 GB/s H2D ceiling would otherwise measure the
-tunnel, not the framework (compute per 62.5 ms block is ~50 µs; the
-tunnel transfer of the same block is ~17 ms).  Configs #1–#4 run at
-≤8.2 MS/s where even the tunnel is far from the bottleneck, so those DO
-stream host→device every block.  The ≥1000-channels-per-v5e-host
-BASELINE target is met on a single chip.
+a network tunnel that would otherwise measure the tunnel, not the
+framework.  Configs #1–#4 DO stream host→device every block.  The
+≥1000-channels-per-v5e-host BASELINE target is met on a single chip.
+
+Tunnel transport model (measured round 4, shapes every loop here):
+  * H2D ~430 MB/s, async enqueue.
+  * Each program RESULT retrieval costs a serialized ~25-30 ms round
+    trip in a continuous dispatch loop, independent of size (small) and
+    of pipeline depth — the per-block floor is one round trip.  Fusing
+    every output leaf of a program into ONE int32 buffer
+    (runtime/chain.py fuse_plan) and fusing co-scheduled chains into one
+    program (runtime/chain.py Fanout) each remove whole round trips per
+    block; both are production-path designs, not bench tricks.
+  * A synchronous np.asarray on a result whose async copy has not been
+    initiated can fall into a pathological KB/s path — dispatch()
+    always issues copy_to_host_async.
 """
 
 import json
@@ -307,63 +317,65 @@ def bench_config3():
 # ---------------------------------------------------------------- config 4 --
 def bench_config4():
     """BPSK31 symbol pipeline on 16 channels + 16 SSB audio channels (the
-    FT8 chopper feed) from one 2.4 MS/s capture."""
+    FT8 chopper feed) from one 2.4 MS/s capture — BOTH chains traced into
+    ONE fused program (runtime.chain.Fanout): one dispatch, one fused
+    result transfer per block.  Separate per-chain programs each pay a
+    serialized ~30 ms device→host result round trip per block on tunnel
+    transports — fusing the fan-out is the production DeviceRuntime
+    answer, measured 2-3× on this leg."""
+    from collections import deque
+    from math import gcd
     import jax
     from openwebrx_tpu.models.secondary import PskChain
-    from openwebrx_tpu.models.receiver import build_program
-    from openwebrx_tpu.runtime.bank import ChannelBank
-    from openwebrx_tpu.runtime.chain import host_pack_complex
+    from openwebrx_tpu.models.receiver import ClientDemodulatorChain
+    from openwebrx_tpu.models.stages import block_requirement
+    from openwebrx_tpu.ops.formats import Format, StreamSpec
+    from openwebrx_tpu.runtime.chain import (
+        Fanout, Program, host_pack_complex,
+    )
     fs = 2.4e6
     nch = 16
     psk = PskChain(fs, baud=31.25)
-    prog = build_program(psk, fs, batch_shape=(nch,), target_seconds=0.05)
     psk.selector.shift.set_rate(
         -(np.arange(nch, dtype=np.float32) * 5e3 + 50e3) / fs)
-    # FT8 leg: 16 USB channels to 12 kHz audio (what the chopper consumes);
-    # its chain has its own block requirement — plan independently
-    bank = ChannelBank(fs, mode="usb", capacity=nch, compression="none",
-                       target_seconds=0.05)
-    for i in range(nch):
-        bank.add_channel(60e3 + i * 5e3)
+    audio = ClientDemodulatorChain(fs, 12000.0, "usb", compression="none")
+    audio.selector.shift.set_rate(
+        -(np.arange(nch, dtype=np.float32) * 5e3 + 60e3) / fs)
+    fan = Fanout([("psk", psk), ("audio", audio)],
+                 batch_shapes={"psk": (nch,), "audio": (nch,)})
+    spec = StreamSpec(Format.COMPLEX_FLOAT, fs)
+    ra, rb = block_requirement(psk, spec), block_requirement(audio, spec)
+    req = ra * rb // gcd(ra, rb)
+    want = int(round(fs * 0.05))
+    block = ((want + req - 1) // req) * req
+    prog = Program(fan, spec, block)
     rng = np.random.default_rng(1)
-    pblocks = [host_pack_complex(
-        (rng.standard_normal(prog.block) + 1j * rng.standard_normal(prog.block)
+    blocks = [host_pack_complex(
+        (rng.standard_normal(block) + 1j * rng.standard_normal(block)
          ).astype(np.complex64) * 0.2) for _ in range(3)]
-    bblocks = [host_pack_complex(
-        (rng.standard_normal(bank.block) + 1j * rng.standard_normal(bank.block)
-         ).astype(np.complex64) * 0.2) for _ in range(3)]
+    symbol_count = 0
     for i in range(WARMUP):
-        pend = prog.dispatch(pblocks[i % 3])
-        prog.fetch(*pend)
-        bank.process(bblocks[i % 3])
-    # both pipelines must keep up with the SAME 2.4 MS/s capture: process
-    # n_sec of signal through each, combined rate = signal seconds / wall;
-    # depth-4 pipelines let result copies land under later dispatches
-    from collections import deque
-    depth = 4
-    n_psk = 32
-    n_bank = int(round(n_psk * prog.block / bank.block))
+        y, _ = prog.process(blocks[i % 3])
+        assert "psk" in y and "audio" in y
+    depth = 8
+    n = 48
     t0 = time.perf_counter()
     pend = deque()
-    for i in range(n_psk):
-        pend.append(prog.dispatch(pblocks[i % 3]))     # PSK31 symbols
+    for i in range(n):
+        pend.append(prog.dispatch(blocks[i % 3]))
         if len(pend) >= depth:
-            prog.fetch(*pend.popleft())
+            y, _ = prog.fetch(*pend.popleft())
+            symbol_count += int(np.asarray(y["psk"][0]).shape[-1])
     while pend:
-        prog.fetch(*pend.popleft())
-    for i in range(n_bank):
-        pend.append(bank.program.dispatch(bblocks[i % 3]))  # FT8 audio feed
-        if len(pend) >= depth:
-            bank.program.fetch(*pend.popleft())
-    while pend:
-        bank.program.fetch(*pend.popleft())
+        y, _ = prog.fetch(*pend.popleft())
+        symbol_count += int(np.asarray(y["psk"][0]).shape[-1])
     wall = time.perf_counter() - t0
-    seconds = n_psk * prog.block / fs
-    msps = seconds * fs / wall / 1e6
+    msps = n * block / wall / 1e6
+    assert symbol_count > 0
     return {"config": 4, "desc": "BPSK31 x16 + FT8 audio feed x16 @ 2.4 MS/s "
-                                 "(host-streamed blocks)",
+                                 "(host-streamed blocks, fused program)",
             "msps": round(msps, 2), "vs_baseline": round(msps / 2.4, 2),
-            "block_latency_ms": round(wall / (n_psk + n_bank) * 1e3, 2)}
+            "block_latency_ms": round(wall / n * 1e3, 2)}
 
 
 # ---------------------------------------------------------------- config 5 --

@@ -51,35 +51,45 @@ def channelizer_init(m: int, taps_per_phase: int, batch_shape=()) -> jnp.ndarray
 def channelize(tail: jnp.ndarray, prototype, x: jnp.ndarray, m: int):
     """tail ((P−1)·M,) · prototype (M·P,) · x (B,) with B % M == 0
     → (new_tail, Y (M, B/M) complex64), channel k centered at k·fs/M
-    (wrap k ≥ M/2 to negative frequencies)."""
+    (wrap k ≥ M/2 to negative frequencies).
+
+    Channel k is EXACTLY shift(−k·fs/M) → prototype → decimate M
+    (phase-exact vs scipy in tests).  The textbook commutator feeds branch
+    p with z_p[t] = x[tM − p] — a REVERSED stride through each frame,
+    which on TPU forced a lane-reversal + 1-wide concatenate + transpose
+    that cost more than the conv and FFT combined (3.9 of 5.9 ms at
+    M=1024, B=2.46 Ms).  Instead we keep the data in its natural order
+    with the phase-reversal identity: with u'[t, q] = x[(t−1)M + 1 + q]
+    (a contiguous slice + reshape) and phase-reversed filters
+    h'_q = h_{M−1−q}, the branch outputs satisfy v[t, p] = v'[t, M−1−p],
+    and the channel DFT Σ_p e^{+j2πkp/M} v[t, p] becomes
+    e^{−j2πk/M} · FFT_q(v'[t, q])[k] — the reversal collapses into a
+    constant per-channel twiddle.  Everything is contiguous: one slice,
+    one reshape, a depthwise conv in time-major NWC layout (M lanes =
+    8 sublanes × 128 lanes exactly at M≥128), a last-axis FFT, one
+    transpose."""
     h = jnp.asarray(prototype)
     p = h.shape[0] // m
     xe = jnp.concatenate([tail, x], axis=-1)
     new_tail = xe[..., -(p * m):]
     nf = xe.shape[-1] // m
-    # commutator: branch p consumes z_p[t] = x[tM − p], built uniformly from
-    # the current frame (p=0) and the PREVIOUS frame reversed (p≥1) — this
-    # makes channel k EXACTLY shift(−k·fs/M) → prototype → decimate M
-    # (phase-exact vs scipy in tests)
-    frames = xe.reshape(nf, m)
-    u0 = frames[1:, :1]                      # (nf−1, 1): x[(t+1)M]
-    up = frames[:-1, :0:-1]                  # (nf−1, M−1): x[tM+M−p], p=1..M−1
-    u = jnp.concatenate([u0, up], axis=1).T  # (M, nf−1)
-    # phase filters h_p[j] = h[jM + p], time-reversed for the conv
-    bank = h.reshape(p, m).T[:, ::-1]                      # (M, P)
-    lhs = jnp.stack([u.real, u.imag], axis=0)              # (2, M, nf−1)
-    rhs = bank[:, None, :]                                 # (M, 1, P) depthwise
+    # u'[t, q] = x[tM + 1 + q] for t = 0..nf−2 — contiguous
+    up = jax.lax.dynamic_slice_in_dim(
+        xe, 1, (nf - 1) * m, axis=-1).reshape(nf - 1, m)
+    # phase-reversed filters, time-reversed taps for the conv
+    bank2 = h.reshape(p, m)[::-1, ::-1]                    # (P, M) host const
+    lhs = jnp.stack([up.real, up.imag], axis=0)            # (2, T, M) NWC
+    rhs = bank2[:, None, :]                                # (P, 1, M) depthwise
     v = jax.lax.conv_general_dilated(
         lhs, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"),
+        dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=m,
         preferred_element_type=jnp.float32,
-    )                                                      # (2, M, B/M)
+    )                                                      # (2, B/M, M)
     vc = jax.lax.complex(v[0], v[1])
-    # Σ_p e^{+j2πkp/M} v_p peaks at k = k0 for a tone at +k0·fs/M — the
-    # inverse DFT (×M to undo ifft's 1/M)
-    y = jnp.fft.ifft(vc, axis=0) * m
-    return new_tail, y.astype(jnp.complex64)
+    yk = jnp.fft.fft(vc, axis=-1)                          # contiguous FFT
+    tw = jnp.exp(-2j * np.pi * jnp.arange(m) / m).astype(jnp.complex64)
+    return new_tail, (yk * tw).T.astype(jnp.complex64)
 
 
 def channel_frequencies(m: int, fs: float) -> np.ndarray:

@@ -150,6 +150,63 @@ class Chain(Stage):
         return ("chain",) + tuple(w.signature() for w in self.workers)
 
 
+class Fanout(Stage):
+    """Parallel branches over the same input block, fused into ONE program.
+
+    The TPU-first answer to "several chains consume the same device IQ":
+    instead of one jitted program per chain (each paying a dispatch and a
+    serialized device→host result round trip per block — the dominant cost
+    on tunnel transports, and extra launch overhead everywhere), all
+    branches trace into a single XLA program whose outputs fuse into the
+    Program's single result buffer.  Replaces the reference's thread-per-
+    chain fan-out from a shared ring buffer (owrx/source/__init__.py
+    buffer fan-out + owrx/dsp.py per-client chains).
+
+    Branch outputs come back keyed: y = {name: y_branch},
+    aux = {"name.key": value}.  Branches may carry different batch shapes
+    (e.g. a () waterfall next to a (16,) channel bank) via batch_shapes.
+    """
+
+    def __init__(self, branches: list[tuple[str, Stage]],
+                 batch_shapes: dict[str, tuple] | None = None,
+                 name: str = "fanout"):
+        self.branches = list(branches)
+        self.batch_shapes = dict(batch_shapes or {})
+        self.name = name
+
+    def plan(self, in_spec: StreamSpec, block: int):
+        for _, b in self.branches:
+            b.plan(in_spec, block)
+        return in_spec, block
+
+    def init_state(self, batch_shape=()):
+        return tuple(b.init_state(self.batch_shapes.get(k, batch_shape))
+                     for k, b in self.branches)
+
+    def params(self):
+        return tuple(b.params() for _, b in self.branches)
+
+    def params_version(self) -> int:
+        return self._pver + sum(b.params_version() for _, b in self.branches)
+
+    def apply(self, state, params, x):
+        new_state = []
+        ys = {}
+        aux = {}
+        for i, (k, b) in enumerate(self.branches):
+            s, y, a = b.apply(state[i], params[i], x)
+            new_state.append(s)
+            ys[k] = y
+            for kk, vv in a.items():
+                aux[f"{k}.{kk}"] = vv
+        return tuple(new_state), ys, aux
+
+    def signature(self):
+        return ("fanout",) + tuple(
+            (k, b.signature(), self.batch_shapes.get(k))
+            for k, b in self.branches)
+
+
 # program-level jit cache: structural signature → compiled step
 _PROGRAM_CACHE: dict[tuple, callable] = {}
 
@@ -265,6 +322,63 @@ def host_unpack_complex(v) -> np.ndarray:
     return a.view(np.complex64)[..., 0]
 
 
+def fuse_plan(y_aval, aux_aval, y_codec, aux_codec):
+    """Plan the single-buffer output fusion for a program.
+
+    Tunnel-attached TPUs serialize one RPC round trip (~25 ms measured)
+    per device→host array, so a program returning audio bytes + codec
+    strides + squelch powers pays 3 round trips per block — more than the
+    compute.  Fusing every output leaf into ONE int32 buffer inside the
+    program makes each block exactly one D2H transfer; on directly
+    attached hardware the cost is one concatenate kernel + host views.
+
+    Returns (treedef, plan, total_words) where plan entries are
+    (offset_words, n_words, encoded_shape, encoded_dtype)."""
+    enc_y = jax.eval_shape(
+        lambda t: jax.tree.map(_encode_out_leaf, t, y_codec), y_aval)
+    enc_aux = jax.eval_shape(
+        lambda t: jax.tree.map(_encode_out_leaf, t, aux_codec), aux_aval)
+    leaves, treedef = jax.tree.flatten((enc_y, enc_aux))
+    plan = []
+    off = 0
+    for a in leaves:
+        words = int(np.prod(a.shape)) if a.ndim else 1
+        plan.append((off, words, tuple(a.shape), np.dtype(a.dtype)))
+        off += words
+    return treedef, plan, off
+
+
+def fuse_leaves(leaves):
+    """Inside jit: encoded output leaves → one flat int32 buffer."""
+    flat = []
+    for v in leaves:
+        v = jnp.atleast_1d(v)
+        if v.dtype == jnp.int32:
+            pass
+        elif v.dtype == jnp.float32:
+            v = jax.lax.bitcast_convert_type(v, jnp.int32)
+        else:
+            v = v.astype(jnp.int32)
+        flat.append(v.reshape(-1))
+    if not flat:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.concatenate(flat) if len(flat) > 1 else flat[0]
+
+
+def unfuse_buffer(buf: np.ndarray, treedef, plan):
+    """Host side: fetched flat int32 buffer → (y_enc, aux_enc) np trees
+    (zero-copy views per leaf)."""
+    leaves = []
+    for off, words, shape, dt in plan:
+        seg = buf[off:off + words]
+        if dt == np.float32:
+            seg = seg.view(np.float32)
+        elif dt != np.int32:
+            seg = seg.astype(dt)
+        leaves.append(seg.reshape(shape))
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def fetch_tree(tree):
     """Fetch a pytree of device arrays to host with async prefetch: issue
     every copy first (they stream in parallel), then gather.  ALWAYS use
@@ -302,6 +416,8 @@ class Program:
         self._s_mask = jax.tree.map(_is_complex_aval, s_aval)
         self._y_codec = jax.tree.map(_leaf_codec, y_aval)
         self._aux_codec = jax.tree.map(_leaf_codec, aux_aval)
+        self._fuse_treedef, self._fuse_plan, self._fuse_words = fuse_plan(
+            y_aval, aux_aval, self._y_codec, self._aux_codec)
         # complex state buffers can't be created eagerly on the tunnel —
         # build them inside a jit that returns the packed representation
         self.state = jax.jit(
@@ -323,9 +439,10 @@ class Program:
                 state = jax.tree.map(_unpack_leaf, pstate, s_mask)
                 x = _unpack_leaf(px, in_complex)
                 new_state, y, aux = chain.apply(state, params, x)
+                y_enc = jax.tree.map(_encode_out_leaf, y, y_codec)
+                aux_enc = jax.tree.map(_encode_out_leaf, aux, aux_codec)
                 return (jax.tree.map(_pack_leaf, new_state),
-                        jax.tree.map(_encode_out_leaf, y, y_codec),
-                        jax.tree.map(_encode_out_leaf, aux, aux_codec))
+                        fuse_leaves(jax.tree.leaves((y_enc, aux_enc))))
             step = jax.jit(_step, donate_argnums=(0,) if donate_state else ())
             _PROGRAM_CACHE[key] = step
         self._step = step
@@ -364,27 +481,29 @@ class Program:
         return x
 
     def dispatch(self, x):
-        """Dispatch one block WITHOUT fetching: returns packed device trees
-        (yp, auxp) whose values are in-flight device arrays.  Dispatch every
-        program of a device first, then fetch() — JAX's async dispatch then
-        overlaps the device work and transfers instead of serializing a
-        round trip per program."""
-        self.state, yp, auxp = self._step(self.state, self._params(),
-                                          self.pack_input(x))
-        # start device→host copies NOW: over a tunnel-attached TPU each
-        # np.asarray is a serial RPC; initiating all copies async here lets
-        # them stream back in parallel while the host does other work
-        for leaf in jax.tree.leaves((yp, auxp)):
-            try:
-                leaf.copy_to_host_async()
-            except (AttributeError, RuntimeError):
-                pass
-        return yp, auxp
+        """Dispatch one block WITHOUT fetching: returns (fused, None) where
+        fused is the in-flight single int32 output buffer (all output
+        leaves of the program fused on device — ONE device→host transfer
+        per block; see fuse_plan).  Dispatch every program of a device
+        first, then fetch() — JAX's async dispatch then overlaps the
+        device work and transfers instead of serializing round trips."""
+        self.state, fused = self._step(self.state, self._params(),
+                                       self.pack_input(x))
+        # start the device→host copy NOW: over a tunnel-attached TPU a
+        # synchronous fetch is a serial RPC; initiating the copy async here
+        # lets it stream back while the host does other work
+        try:
+            fused.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        return fused, None
 
-    def fetch(self, yp, auxp):
-        """Unpack a dispatch() result: complex outputs come back as np
-        complex64, sub-word outputs as their original dtype/shape (both
-        fetched); word-sized real outputs stay device arrays."""
+    def fetch(self, fused, _unused=None):
+        """Unpack a dispatch() result: one device→host fetch of the fused
+        buffer, then zero-copy views per leaf.  Complex outputs come back
+        as np complex64, sub-word outputs as their original dtype/shape."""
+        buf = np.asarray(fused)
+        yp, auxp = unfuse_buffer(buf, self._fuse_treedef, self._fuse_plan)
         y = jax.tree.map(_decode_out_leaf, yp, self._y_codec)
         aux = jax.tree.map(_decode_out_leaf, auxp, self._aux_codec)
         return y, aux

@@ -23,6 +23,7 @@ from openwebrx_tpu.ops.formats import Format, StreamSpec
 from openwebrx_tpu.runtime.chain import (
     digest, host_pack_complex, _decode_out_leaf, _encode_out_leaf,
     _is_complex_aval, _leaf_codec, _pack_leaf, _unpack_leaf,
+    fuse_leaves, fuse_plan, unfuse_buffer,
 )
 
 
@@ -77,6 +78,8 @@ class ChannelizedBank:
             self._raw_step, s_aval, params0, x_aval)
         self._y_codec = jax.tree.map(_leaf_codec, y_aval)
         self._aux_codec = jax.tree.map(_leaf_codec, aux_aval)
+        self._fuse_treedef, self._fuse_plan, self._fuse_words = fuse_plan(
+            y_aval, aux_aval, self._y_codec, self._aux_codec)
         self.state = jax.jit(
             lambda: jax.tree.map(_pack_leaf, _init()))()
         self._step = jax.jit(self._make_step(), donate_argnums=(0,))
@@ -95,9 +98,12 @@ class ChannelizedBank:
             state = jax.tree.map(_unpack_leaf, pstate, s_mask)
             x = _unpack_leaf(px, True)
             new_state, y, aux = raw(state, params, x)
+            y_enc = jax.tree.map(_encode_out_leaf, y, y_codec)
+            aux_enc = jax.tree.map(_encode_out_leaf, aux, aux_codec)
+            # all outputs fused into ONE int32 buffer: one D2H transfer per
+            # block instead of one serialized RPC per leaf (fuse_plan)
             return (jax.tree.map(_pack_leaf, new_state),
-                    jax.tree.map(_encode_out_leaf, y, y_codec),
-                    jax.tree.map(_encode_out_leaf, aux, aux_codec))
+                    fuse_leaves(jax.tree.leaves((y_enc, aux_enc))))
 
         return step
 
@@ -155,10 +161,11 @@ class ChannelizedBank:
 
     def dispatch(self, iq_block, to_host: bool = True):
         """iq_block (block,) complex64 (np) or packed (block, 2) float32 /
-        int16 (np or device-resident) → in-flight packed (yp, auxp) device
-        trees, with device→host copies already streaming.  to_host=False
-        skips initiating the copies — for consumers that keep results on
-        device (device-resident pipelines, cross-program fusion)."""
+        int16 (np or device-resident) → (fused, None) where fused is the
+        in-flight single int32 output buffer (all output leaves fused on
+        device — ONE D2H transfer per block).  to_host=False skips
+        initiating the copy — for consumers that keep results on device
+        (device-resident pipelines, throughput benches)."""
         if np.iscomplexobj(iq_block):
             if iq_block.shape[-1] != self.block:
                 raise ValueError(
@@ -169,18 +176,20 @@ class ChannelizedBank:
             raise ValueError(
                 f"expected {self.block} complex samples (or packed "
                 f"({self.block}, 2) float32), got {iq_block.shape}")
-        self.state, yp, auxp = self._step(self.state, self._params(), iq_block)
+        self.state, fused = self._step(self.state, self._params(), iq_block)
         if to_host:
-            for leaf in jax.tree.leaves((yp, auxp)):
-                try:
-                    leaf.copy_to_host_async()
-                except (AttributeError, RuntimeError):
-                    pass
-        return yp, auxp
+            try:
+                fused.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+        return fused, None
 
-    def fetch(self, yp, auxp):
-        """Decode a dispatch() result (complex → np complex64, sub-word →
-        original dtype; word-sized real leaves stay device arrays)."""
+    def fetch(self, fused, _unused=None):
+        """Decode a dispatch() result: one fetch of the fused buffer, then
+        zero-copy views (complex → np complex64, sub-word → original
+        dtype)."""
+        buf = np.asarray(fused)
+        yp, auxp = unfuse_buffer(buf, self._fuse_treedef, self._fuse_plan)
         y = jax.tree.map(_decode_out_leaf, yp, self._y_codec)
         aux = jax.tree.map(_decode_out_leaf, auxp, self._aux_codec)
         return y, aux
