@@ -258,60 +258,42 @@ def bench_config2():
 
 # ---------------------------------------------------------------- config 3 --
 def bench_config3():
-    """8.192 MS/s HF capture → 64-channel PFB → SSB chains, host-streamed
-    (device_put every block — the tunnel is not the bottleneck here)."""
-    import jax
-    from openwebrx_tpu.runtime.channelized import ChannelizedBank
+    """8.192 MS/s HF capture → 64 background SSB dials — measured through
+    the PRODUCTION serving path: DeviceRuntime routes the 64 service
+    channels into its per-bucket PFB ChannelizedBank (one filterbank
+    program for all dials), the iq_ingest ring feeds int16 wire blocks,
+    and the runtime's own dispatch/complete pipeline delivers raw s16
+    audio to the service callbacks (the chopper feed surface)."""
     fs = 8.192e6
-    m = 64
-    bank = ChannelizedBank(fs, m, mode="usb", compression="adpcm",
-                           target_seconds=0.05)
-    for i in range(m):
-        bank.assign(float((i - m // 2) * fs / m * 0.9))
-    rng = np.random.default_rng(0)
-    # int16 wire samples, the form an s16-native SDR ships: 4 B/sample
-    # over the host→device link instead of 8 (8.192 MS/s × 8 B = 65 MB/s
-    # would exceed this dev tunnel's ~45 MB/s H2D wire; the conversion to
-    # float happens inside the jitted program)
-    blocks = [np.clip(bank.pack_input(
-        (rng.standard_normal(bank.block) + 1j * rng.standard_normal(bank.block)
-         ).astype(np.complex64) * 0.2) * 32767.0, -32768, 32767).astype(np.int16)
-        for _ in range(4)]
-    # depth-6 pipeline over the tunnel: upload + dispatch blocks N..N+5
-    # while older blocks' audio streams back (the tunnel's D2H copies take
-    # ~25-50 ms to land after issue; each pipeline slot shadows one
-    # dispatch's worth of that)
-    from collections import deque
-    depth = 6
-    for i in range(WARMUP):
-        bank.process(jax.device_put(blocks[i % 4]))
-    n = 48
-    pend = deque()
-    t0 = time.perf_counter()
-    for i in range(n):
-        pend.append(bank.dispatch(jax.device_put(blocks[i % 4])))
-        if len(pend) >= depth:
-            bank.fetch(*pend.popleft())
-    while pend:
-        bank.fetch(*pend.popleft())
-    wall = time.perf_counter() - t0
-    msps = n * bank.block / wall / 1e6
-    # paced real-time latency: one block per block-interval, synchronous
-    block_s = bank.block / fs
-    lat = []
-    next_arrival = time.perf_counter()
-    for i in range(20):
-        t_blk = time.perf_counter()
-        bank.process(jax.device_put(blocks[i % 4]))
-        lat.append(time.perf_counter() - t_blk)
-        next_arrival += block_s
-        delay = next_arrival - time.perf_counter()
-        if delay > 0:
-            time.sleep(delay)
-    return {"config": 3, "desc": "8.192 MS/s -> 64-ch PFB -> SSB chains "
-                                 "(host-streamed blocks, depth-6 pipeline)",
+    runtime, source = _make_runtime(fs, 0.05)
+    m = runtime._pfb_channels()
+    sink = {"bytes": 0, "channels": set()}
+    handles = []
+    for i in range(64):
+        # distinct PFB channels across ±0.45·fs, +500 Hz fine offset
+        k = (i * (m // 72) + 2) % m
+        freq = k * fs / m
+        if freq >= fs / 2:
+            freq -= fs
+        h = runtime.open_channel("usb", freq + 500.0, service=True)
+        h.audio_cb = (lambda wire, hd=False, i=i:
+                      (sink.__setitem__("bytes", sink["bytes"] + len(wire)),
+                       sink["channels"].add(i)))
+        handles.append(h)
+    pfb_count = sum(1 for h in handles if h.bucket_key.startswith("pfb:"))
+    try:
+        msps, mean_ms, p95_ms, _, _ = _run_streaming(runtime, source, 48,
+                                                     depth=6, paced_blocks=20)
+    finally:
+        source.close()
+    assert sink["bytes"] > 0 and len(sink["channels"]) == 64
+    return {"config": 3, "desc": "8.192 MS/s -> 64 service dials via "
+                                 "DeviceRuntime PFB bank (end-to-end host "
+                                 "stream)",
             "msps": round(msps, 2), "vs_baseline": round(msps / 8.192, 2),
-            "block_latency_ms": round(float(np.mean(lat)) * 1e3, 2)}
+            "pfb_dials": pfb_count,
+            "block_latency_ms": round(mean_ms, 2),
+            "block_latency_p95_ms": round(p95_ms, 2)}
 
 
 # ---------------------------------------------------------------- config 4 --

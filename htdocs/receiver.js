@@ -107,6 +107,7 @@ class ImagePanel {
 /* -------------------------------------------------------------- app ----- */
 const app = {
   ws: null, config: {}, modes: [], mode: "nfm", offset: 0,
+  low_cut: -4000, high_cut: 4000,
   bookmarks: [], dials: [], bands: [],
   audio: new AudioEngine(), rxName: document.getElementById("receiver-name"),
   waterfall: new Waterfall(document.getElementById("waterfall"),
@@ -338,7 +339,10 @@ function setMode(mod, noSend) {
     b.classList.toggle("active", b.dataset.mod === mod);
   const m = app.modes.find(x => x.modulation === mod);
   const params = {mod: mod};
-  if (m && m.bandpass) { params.low_cut = m.bandpass.low_cut; params.high_cut = m.bandpass.high_cut; }
+  if (m && m.bandpass) {
+    app.low_cut = m.bandpass.low_cut; app.high_cut = m.bandpass.high_cut;
+    params.low_cut = app.low_cut; params.high_cut = app.high_cut;
+  }
   if (!noSend) send({type: "dspcontrol", params});
   drawPassband();
 }
@@ -366,17 +370,100 @@ function drawScale() {
 
 function redrawOverlays() { drawScale(); drawPassband(); drawBookmarks(); app.bandplan.draw(); }
 
-function drawPassband() {
-  const pb = document.getElementById("passband");
+/* x pixel of a frequency offset (Hz from device center) in the current
+   waterfall view */
+function offsetToX(offHz) {
   const sr = app.config.samp_rate || 1;
   const [lo, hi] = app.waterfall.viewRange();
-  const frac = (app.offset / sr + 0.5 - lo) / (hi - lo);
-  const m = app.modes.find(x => x.modulation === app.mode);
-  const bw = m && m.bandpass ? (m.bandpass.high_cut - m.bandpass.low_cut) : 10000;
   const w = document.getElementById("waterfall").clientWidth;
-  pb.style.left = (frac * w - (bw / sr / (hi - lo)) * w / 2) + "px";
-  pb.style.width = Math.max(2, (bw / sr / (hi - lo)) * w) + "px";
+  return (offHz / sr + 0.5 - lo) / (hi - lo) * w;
 }
+
+function xToOffset(x) {
+  const sr = app.config.samp_rate || 1;
+  const [lo, hi] = app.waterfall.viewRange();
+  const w = document.getElementById("waterfall").clientWidth;
+  return ((x / w) * (hi - lo) + lo - 0.5) * sr;
+}
+
+function drawPassband() {
+  const pb = document.getElementById("passband");
+  // asymmetric envelope [offset+low_cut, offset+high_cut] with a carrier
+  // line at the dial (reference lib/Demodulator.js envelope drawing)
+  const x0 = offsetToX(app.offset + app.low_cut);
+  const x1 = offsetToX(app.offset + app.high_cut);
+  const xc = offsetToX(app.offset);
+  pb.style.left = x0 + "px";
+  pb.style.width = Math.max(2, x1 - x0) + "px";
+  let carrier = pb.querySelector(".carrier");
+  if (!carrier) {
+    carrier = document.createElement("div");
+    carrier.className = "carrier";
+    pb.appendChild(carrier);
+  }
+  carrier.style.left = Math.max(0, Math.min(x1 - x0 - 1, xc - x0 - 1)) + "px";
+}
+
+/* draggable passband edges: grab low/high cut on the scale and drag
+   (reference htdocs/lib/Demodulator.js:1-463 + DemodulatorPanel.js);
+   middle drag moves the whole demodulator */
+(() => {
+  const pb = document.getElementById("passband");
+  const EDGE = 6;            // px hit zone on each edge
+  let drag = null;           // {kind: 'low'|'high'|'move', startX, low0, high0, off0}
+  let lastSend = 0;
+
+  const sendCuts = (final) => {
+    const now = performance.now();
+    if (!final && now - lastSend < 150) return;
+    lastSend = now;
+    const params = {low_cut: Math.round(app.low_cut),
+                    high_cut: Math.round(app.high_cut)};
+    if (drag && drag.kind === "move") params.offset_freq = Math.round(app.offset);
+    send({type: "dspcontrol", params});
+  };
+
+  pb.addEventListener("pointermove", (e) => {
+    if (drag) return;
+    const r = pb.getBoundingClientRect();
+    const x = e.clientX - r.left;
+    pb.style.cursor = (x <= EDGE || x >= r.width - EDGE) ? "ew-resize" : "move";
+  });
+  pb.addEventListener("pointerdown", (e) => {
+    const r = pb.getBoundingClientRect();
+    const x = e.clientX - r.left;
+    const kind = x <= EDGE ? "low" : (x >= r.width - EDGE ? "high" : "move");
+    drag = {kind, startX: e.clientX, low0: app.low_cut,
+            high0: app.high_cut, off0: app.offset};
+    pb.setPointerCapture(e.pointerId);
+    e.preventDefault(); e.stopPropagation();
+  });
+  pb.addEventListener("pointermove", (e) => {
+    if (!drag) return;
+    const sr = app.config.samp_rate || 1;
+    const dHz = xToOffset(e.clientX) - xToOffset(drag.startX);
+    const MIN = 100;           // Hz minimum passband width
+    if (drag.kind === "low") {
+      app.low_cut = Math.min(drag.low0 + dHz, app.high_cut - MIN);
+      app.low_cut = Math.max(app.low_cut, -sr / 2);
+    } else if (drag.kind === "high") {
+      app.high_cut = Math.max(drag.high0 + dHz, app.low_cut + MIN);
+      app.high_cut = Math.min(app.high_cut, sr / 2);
+    } else {
+      app.offset = drag.off0 + dHz;
+      updateFreq();
+    }
+    drawPassband();
+    sendCuts(false);
+  });
+  const finish = (e) => {
+    if (!drag) return;
+    sendCuts(true);
+    drag = null;
+  };
+  pb.addEventListener("pointerup", finish);
+  pb.addEventListener("pointercancel", finish);
+})();
 
 /* click tunes; drag pans the zoomed view (reference waterfall drag) */
 (() => {

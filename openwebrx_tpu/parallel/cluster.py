@@ -145,7 +145,9 @@ class DistributedReceiver:
         import jax
         # bank._params() pushes any dirty control arrays into the chain
         # before materializing (runtime/channelized.py deferred push)
-        self._params = jax.tree.map(self._put, self.bank._params())
+        # dense banks here: the slot gather indices (params[0]) are unused
+        _idx, chain_params = self.bank._params()
+        self._params = jax.tree.map(self._put, chain_params)
         self._params_version = self._bank_version()
         return self._params
 

@@ -76,8 +76,11 @@ def shard_channelized_bank(bank, mesh: Mesh, chan_axis: str = "chan"):
 
     def run(state, x):
         # bank._params() pushes any dirty control arrays into the chain and
-        # re-materializes only on change (runtime/channelized.py)
-        params = jax.tree.map(put, bank._params())
+        # re-materializes only on change (runtime/channelized.py); pod
+        # sharding layers over DENSE banks, so the slot gather indices
+        # (params[0]) are unused here — chain params only
+        _idx, chain_params = bank._params()
+        params = jax.tree.map(put, chain_params)
         import numpy as _np
         if _np.iscomplexobj(x):
             x = host_pack_complex(_np.asarray(x))

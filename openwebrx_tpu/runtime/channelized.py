@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from openwebrx_tpu.models.receiver import ClientDemodulatorChain, MODE_BANDPASS
 from openwebrx_tpu.models.stages import plan_block_size
@@ -43,33 +44,66 @@ class ChannelizedBank:
 
     def __init__(self, in_rate: float, m: int, mode: str = "usb",
                  audio_rate: float = 12000.0, compression: str = "none",
-                 taps_per_phase: int = 16, target_seconds: float = 0.1):
+                 taps_per_phase: int = 16, target_seconds: float = 0.1,
+                 block: int | None = None, capacity: int | None = None):
         self.in_rate = float(in_rate)
         self.m = int(m)
         self.mode = mode
+        self.compression = compression
+        # capacity=None → dense: all M channels demodulate and ship (the
+        # 1000+-channel BASELINE shape; also what the pod sharding layers
+        # over).  capacity=N → slot-gathered: a traced (N,) channel-index
+        # array gathers the N OCCUPIED channel streams out of the PFB
+        # before the demod chains, so chain compute and the fused result
+        # transfer scale with live services, not with M (a 4096-channel
+        # PFB serving 40 dials demodulates 40 rows, not 4096).
+        self.capacity = int(capacity) if capacity else None
+        self._n = self.capacity or self.m       # chain batch size
         self.channel_rate = self.in_rate / self.m
         self.prototype = pfb.design_prototype(self.m, taps_per_phase)
         self.taps_per_phase = taps_per_phase
         self.chain = ClientDemodulatorChain(self.channel_rate, audio_rate,
                                             mode, compression)
         spec = StreamSpec(Format.COMPLEX_FLOAT, self.channel_rate)
-        self.channel_block = plan_block_size(self.chain, spec, target_seconds)
-        self.block = self.channel_block * self.m
+        # `block` is the DEVICE block (the runtime's dispatch cadence).
+        # The bank's own block must be a multiple of it AND of m × the
+        # chain's divisibility requirement; when they differ the bank
+        # accumulates device chunks on-device and dispatches every Nth
+        # block (same trade as ChannelBank.chunk_ratio)
+        self.chunk_ratio = 1
+        if block is not None:
+            from math import gcd
+            from openwebrx_tpu.models.stages import block_requirement
+            req = block_requirement(self.chain, spec) * self.m
+            bank_block = block * req // gcd(block, req)
+            self.chunk_ratio = bank_block // block
+            self.block = bank_block
+            self.channel_block = bank_block // self.m
+        else:
+            self.channel_block = plan_block_size(self.chain, spec,
+                                                 target_seconds)
+            self.block = self.channel_block * self.m
+        self._accum: list = []
         self.chain.plan(spec, self.channel_block)
 
-        self._fine = np.zeros(self.m, np.float32)       # Hz within channel
-        self._squelch = np.full(self.m, -150.0, np.float32)
-        self._active = np.zeros(self.m, bool)
+        n = self._n
+        self._chan = np.zeros(n, np.int32)              # slot → PFB channel
+        self._fine = np.zeros(n, np.float32)            # Hz within channel
+        self._squelch = np.full(n, -150.0, np.float32)
+        self._active = np.zeros(n, bool)
         lo, hi = MODE_BANDPASS[mode]
-        self._low = np.full(self.m, float(lo))
-        self._high = np.full(self.m, float(hi))
+        self._low = np.full(n, float(lo))
+        self._high = np.full(n, float(hi))
+        self._nr = np.full(n, -100.0, np.float32)       # ≤ −100 ⇒ NR off
+        if self.capacity is None:
+            self._chan = np.arange(n, dtype=np.int32)   # slot s ≡ channel s
         self._params_dirty = True
         self._params_cache = None
-        params0 = self._params()    # production (M,)-shaped param arrays
+        params0 = self._params()    # production slot-shaped param arrays
 
         def _init():
             return (pfb.channelizer_init(self.m, taps_per_phase),
-                    self.chain.init_state((self.m,)))
+                    self.chain.init_state((n,)))
 
         s_aval = jax.eval_shape(_init)
         self._s_mask = jax.tree.map(_is_complex_aval, s_aval)
@@ -86,8 +120,13 @@ class ChannelizedBank:
 
     def _raw_step(self, state, params, x):
         tail, chain_state = state
+        idx, chain_params = params
         tail, channels = pfb.channelize(tail, self.prototype, x, self.m)
-        chain_state, y, aux = self.chain.apply(chain_state, params, channels)
+        if self.capacity is not None:
+            # gather the occupied channels' streams: demod batch = slots
+            channels = jnp.take(channels, idx, axis=0)
+        chain_state, y, aux = self.chain.apply(chain_state, chain_params,
+                                               channels)
         return (tail, chain_state), y, aux
 
     def _make_step(self):
@@ -115,36 +154,119 @@ class ChannelizedBank:
         center = pfb.channel_frequencies(self.m, self.in_rate)[k]
         return k, freq_offset_hz - center
 
+    def channel_in_use(self, k: int) -> bool:
+        """Is PFB channel k already serving an active slot?"""
+        return bool(np.any(self._active & (self._chan == k)))
+
+    def has_free_slot(self) -> bool:
+        return bool(np.any(~self._active))
+
     def assign(self, freq_offset_hz: float, squelch_db: float = -150.0) -> int:
-        """Activate the channel containing the given frequency."""
+        """Activate a slot on the channel containing the given frequency;
+        returns the SLOT index (== channel index in dense mode)."""
         k, fine = self.channel_for(freq_offset_hz)
-        self._active[k] = True
-        self._fine[k] = fine
-        self._squelch[k] = squelch_db
+        if self.capacity is None:
+            s = k
+        else:
+            if self.channel_in_use(k):
+                raise ValueError(f"PFB channel {k} already occupied")
+            free = np.flatnonzero(~self._active)
+            if len(free) == 0:
+                raise ValueError("PFB bank full — all slots taken")
+            s = int(free[0])
+            self._chan[s] = k
+        self._active[s] = True
+        self._fine[s] = fine
+        self._squelch[s] = squelch_db
         self._params_dirty = True
-        return k
+        return s
 
-    def release(self, k: int):
-        self._active[k] = False
-        self._fine[k] = 0.0
+    def release(self, s: int):
+        self._active[s] = False
+        self._fine[s] = 0.0
+        self._squelch[s] = -150.0
+        if self.capacity is not None:
+            self._chan[s] = 0       # parked (inactive slots never conflict)
         self._params_dirty = True
 
-    def set_bandpass(self, k: int, low_hz: float, high_hz: float):
-        self._low[k], self._high[k] = low_hz, high_hz
+    # ChannelBank-compatible slot surface (DeviceRuntime handles call these)
+    def remove_channel(self, s: int):
+        self.release(s)
+
+    def retune(self, s: int, offset_hz: float) -> int:
+        """Move a slot to a new frequency.  The new dial may land in a
+        DIFFERENT PFB channel — returns the (possibly new) slot index."""
+        new_k, fine = self.channel_for(offset_hz)
+        cur_k = int(self._chan[s])
+        if new_k == cur_k:
+            self._fine[s] = fine
+            self._params_dirty = True
+            return s
+        if self.capacity is not None:
+            if self.channel_in_use(new_k):
+                raise ValueError(f"PFB channel {new_k} already occupied")
+            self._chan[s] = new_k
+            self._fine[s] = fine
+            self._params_dirty = True
+            return s
+        # dense mode: slot index IS the channel index — move the slot
+        if self._active[new_k]:
+            raise ValueError(f"PFB channel {new_k} already occupied")
+        sq, lo, hi, nr = (self._squelch[s], self._low[s], self._high[s],
+                          self._nr[s])
+        self.release(s)
+        self._active[new_k] = True
+        self._fine[new_k] = fine
+        self._squelch[new_k], self._nr[new_k] = sq, nr
+        self._low[new_k], self._high[new_k] = lo, hi
         self._params_dirty = True
+        return new_k
+
+    def set_squelch(self, s: int, level_db: float):
+        self._squelch[s] = level_db
+        self._params_dirty = True
+
+    def set_nr(self, s: int, threshold_db: float):
+        self._nr[s] = threshold_db
+        self._params_dirty = True
+
+    def set_bandpass(self, s: int, low_hz: float, high_hz: float):
+        self._low[s], self._high[s] = low_hz, high_hz
+        self._params_dirty = True
+
+    def fits(self, freq_offset_hz: float, low_hz: float, high_hz: float,
+             margin: float = 0.4) -> bool:
+        """Can this dial serve from the critically-sampled PFB?  The whole
+        passband (fine offset + mode bandpass) must sit inside the channel's
+        usable width (±margin·channel_rate, default 80 % of the slice —
+        beyond that the prototype's transition band attenuates).  Dials
+        that straddle a channel edge fall back to a full-rate bank slot,
+        the same compromise the reference's resampler-grouping optimizer
+        makes when a dial doesn't fit a group (owrx/service/__init__.py:
+        199-252)."""
+        _, fine = self.channel_for(freq_offset_hz)
+        half = margin * self.channel_rate
+        return (fine + low_hz) >= -half and (fine + high_hz) <= half
 
     @property
     def active_channels(self) -> np.ndarray:
-        return np.flatnonzero(self._active)
+        """PFB channel indices of the active slots."""
+        return self._chan[self._active]
+
+    @property
+    def n_active(self) -> int:
+        return int(self._active.sum())
 
     def _params(self):
         """Push control arrays into the chain and (re-)materialize the
-        param pytree only when something changed since the last dispatch."""
+        param pytree only when something changed since the last dispatch.
+        Program params = (slot→channel gather indices, chain params)."""
         if self._params_dirty or self._params_cache is None:
             self.chain.selector.shift.set_rate(-self._fine / self.channel_rate)
             self.chain.selector.squelch.set_level(self._squelch)
             self.chain.selector.set_bandpass(self._low, self._high)
-            self._params_cache = self.chain.params()
+            self.chain.audio.noise_filter.set_threshold(self._nr)
+            self._params_cache = (self._chan.copy(), self.chain.params())
             self._params_dirty = False
         return self._params_cache
 
@@ -154,6 +276,22 @@ class ChannelizedBank:
         self._params()
 
     # ------------------------------------------------------------- stream --
+    def feed_dispatch(self, xdev):
+        """Feed one packed device chunk (device-block samples, already on
+        device).  Returns the pending fused output when a full bank block
+        was dispatched, else None (chunks buffered on-device until
+        chunk_ratio chunks arrived) — the DeviceRuntime feed surface,
+        same contract as ChannelBank.feed_dispatch."""
+        if self.chunk_ratio == 1:
+            return self.dispatch(xdev)
+        self._accum.append(xdev)
+        if len(self._accum) < self.chunk_ratio:
+            return None
+        import jax.numpy as jnp
+        x = jnp.concatenate(self._accum, axis=0)
+        self._accum = []
+        return self.dispatch(x)
+
     def pack_input(self, iq_block: np.ndarray) -> np.ndarray:
         """Host complex block → the packed float32 form dispatch() accepts
         (use with jax.device_put to stage benchmark input in HBM)."""
@@ -200,4 +338,4 @@ class ChannelizedBank:
 
     def signature(self):
         return ("channelized", self.m, self.mode, self.channel_block,
-                digest(self.prototype))
+                self.capacity, digest(self.prototype))

@@ -149,22 +149,31 @@ class SecondaryHandle:
         if self.mode == "sstv":
             from openwebrx_tpu.services.sstv import SstvDecoder
 
-            sstv_mode = "martin_m1"
-            state = {"decoder": None, "line": 0}
+            state = {"decoder": None, "line": 0,
+                     "mode": None, "width": 0, "height": 0}
+
+            def on_mode(name, width, height):
+                # VIS header decoded: announce like the reference binary
+                # protocol does (owrx/sstv.py mode/width/height header)
+                state.update(mode=name, width=width, height=height, line=0)
+                emit({"mode": "SSTV", "sstv_mode": name,
+                      "width": width, "height": height, "line": -1})
 
             def on_row(row):
                 n = state["line"]
                 state["line"] += 1
-                emit({"mode": "SSTV", "sstv_mode": sstv_mode,
-                      "width": int(row.shape[0]), "line": n,
+                emit({"mode": "SSTV", "sstv_mode": state["mode"] or "?",
+                      "width": int(row.shape[0]),
+                      "height": state["height"], "line": n,
                       "pixels": base64.b64encode(
                           np.asarray(row, np.uint8).tobytes()).decode()})
-                if state["line"] >= 256:          # Martin/Scottie frame height
+                if state["height"] and state["line"] >= state["height"]:
                     self._save_image(state["decoder"].image(), "sstv", emit)
-                    state["decoder"] = SstvDecoder(sstv_mode, on_row=on_row)
+                    state["decoder"] = SstvDecoder(on_row=on_row,
+                                                   on_mode=on_mode)
                     state["line"] = 0
 
-            state["decoder"] = SstvDecoder(sstv_mode, on_row=on_row)
+            state["decoder"] = SstvDecoder(on_row=on_row, on_mode=on_mode)
 
             def decode(y):
                 state["decoder"].feed(np.asarray(y))
@@ -496,7 +505,11 @@ class ChannelHandle:
         return self.runtime.banks[self.bucket_key]
 
     def set_offset(self, offset_hz: float):
-        self.bank.retune(self.slot, offset_hz)
+        # a PFB-backed slot may land in a different channel after retune
+        # (ChannelizedBank.retune returns the new index)
+        new_slot = self.bank.retune(self.slot, offset_hz)
+        if new_slot is not None:
+            self.slot = new_slot
 
     def set_squelch(self, level_db: float):
         self.bank.set_squelch(self.slot, level_db)
@@ -610,19 +623,70 @@ class DeviceRuntime:
                 self.banks[key] = bank
             return bank
 
+    def _pfb_channels(self) -> int:
+        """PFB channel count for this device rate: the largest power of two
+        keeping the channel slice ≥ 24 kHz (so every service passband plus
+        fine shift fits, and the chain's audio resampler works from a
+        sensible rate).  0 ⇒ device too narrow to channelize."""
+        import math
+        if self.in_rate < 24000 * 8:
+            return 0
+        return min(4096, 2 ** int(math.log2(self.in_rate / 24000)))
+
+    def _get_pfb_bank(self, bucket: str):
+        """Per-bucket ChannelizedBank for background services: ALL service
+        dials of a bucket demodulate from ONE polyphase filterbank program
+        at channel rate instead of each filtering the full device rate —
+        the scaling replacement for the reference's greedy resampler-tree
+        (owrx/service/__init__.py:199-252; SURVEY §2.6)."""
+        from openwebrx_tpu.runtime.channelized import ChannelizedBank
+        key = f"pfb:{bucket}"
+        with self._lock:
+            bank = self.banks.get(key)
+            if bank is None:
+                m = self._pfb_channels()
+                bank = ChannelizedBank(
+                    self.in_rate, m,
+                    mode=BUCKET_CHAIN_MODE[bucket],
+                    audio_rate=self.audio_rate,
+                    compression="none", block=self.block,
+                    capacity=min(m, max(64, self.capacity)))
+                self.banks[key] = bank
+            return bank
+
     def open_channel(self, mode: str, offset_hz: float = 0.0,
                      service: bool = False) -> ChannelHandle:
-        """service=True → raw int16 audio (for choppers/recorders) from a
-        separate bank with compression 'none' (reference: headless
-        ServiceDemodulatorChain, owrx/service/chain.py)."""
+        """service=True → raw int16 audio (for choppers/recorders).
+
+        Service channels come from the per-bucket PFB ChannelizedBank when
+        the dial's passband fits inside a free PFB channel slice —
+        O(P + log M) work per input sample for ALL dials together.  Dials
+        that straddle a channel edge (or collide with an occupied channel)
+        fall back to a full-rate 'svc:' ChannelBank slot."""
         bucket = BANK_BUCKET[mode]
         if bucket not in self.available_buckets:
             raise KeyError(f"mode {mode} not available at "
                            f"{self.in_rate:.0f} S/s")
+        lo, hi = MODE_BANDPASS[mode]
+        if service and self._pfb_channels() >= 8:
+            try:
+                pfb = self._get_pfb_bank(bucket)
+                k, _ = pfb.channel_for(offset_hz)
+                if (pfb.fits(offset_hz, lo, hi) and not pfb.channel_in_use(k)
+                        and pfb.has_free_slot()):
+                    slot = pfb.assign(offset_hz)
+                    pfb.set_bandpass(slot, lo, hi)
+                    handle = ChannelHandle(self, mode, slot)
+                    handle.bucket_key = f"pfb:{bucket}"
+                    with self._lock:
+                        self.handles.append(handle)
+                    return handle
+            except (ValueError, KeyError):
+                logger.exception("PFB service bank unavailable for %s; "
+                                 "falling back to full-rate bank", mode)
         key = f"svc:{bucket}" if service else bucket
         bank = self._get_bank(key)
         slot = bank.add_channel(offset_hz)
-        lo, hi = MODE_BANDPASS[mode]
         bank.set_bandpass(slot, lo, hi)
         handle = ChannelHandle(self, mode, slot)
         handle.bucket_key = key
@@ -656,7 +720,8 @@ class DeviceRuntime:
 
     def switch_mode(self, handle: ChannelHandle, mode: str,
                     offset_hz: float | None = None):
-        service = handle.bucket_key.startswith("svc:")
+        is_pfb = handle.bucket_key.startswith("pfb:")
+        service = handle.bucket_key.startswith("svc:") or is_pfb
         new_bucket = BANK_BUCKET[mode]
         new_key = f"svc:{new_bucket}" if service else new_bucket
         if new_bucket not in self.available_buckets:
@@ -664,14 +729,33 @@ class DeviceRuntime:
                            f"{self.in_rate:.0f} S/s")
         with self._lock:
             bank = self.banks[handle.bucket_key]
-            offset = offset_hz if offset_hz is not None else float(
-                bank._offsets[handle.slot])
-            if new_key == handle.bucket_key:
+            if offset_hz is not None:
+                offset = offset_hz
+            elif is_pfb:
+                # dial = the slot's channel center + fine offset
+                from openwebrx_tpu.ops.channelizer import channel_frequencies
+                k = int(bank._chan[handle.slot])
+                offset = float(channel_frequencies(bank.m, bank.in_rate)[k]
+                               + bank._fine[handle.slot])
+            else:
+                offset = float(bank._offsets[handle.slot])
+            if new_key == handle.bucket_key and not is_pfb:
                 handle.mode = mode
                 lo, hi = MODE_BANDPASS[mode]
                 bank.set_bandpass(handle.slot, lo, hi)
                 return
             bank.remove_channel(handle.slot)
+            if is_pfb:
+                # re-run the PFB-fit routing for the new mode
+                self.handles.remove(handle)
+                new_handle = self.open_channel(mode, offset, service=True)
+                handle.slot = new_handle.slot
+                handle.mode = mode
+                handle.bucket_key = new_handle.bucket_key
+                self.handles.remove(new_handle)
+                self.handles.append(handle)
+                handle.framer = SyncFramer()
+                return
             new_bank = self._get_bank(new_key)
             handle.slot = new_bank.add_channel(offset)
             handle.mode = mode
@@ -798,12 +882,14 @@ class DeviceRuntime:
         # dispatch everything BEFORE fetching anything: JAX async dispatch
         # overlaps the programs' device work and result transfers
         fft_pending = self.fft_program.dispatch(xdev) if want_fft else None
-        # snapshot each bank's program alongside its pending outputs: a
+        # snapshot each bank's fetcher alongside its pending outputs: a
         # mode-switch rebuild between dispatch and complete must not make
         # complete() unpack with the NEW program's masks.  feed_dispatch
         # returns None while a long-chain bank (WFM) is still accumulating
-        # device chunks toward its own larger block.
-        bank_pending = {bucket: (bank.program, bank.feed_dispatch(xdev))
+        # device chunks toward its own larger block.  ChannelizedBank
+        # ('pfb:' buckets) is its own fetcher; ChannelBank's is its Program.
+        bank_pending = {bucket: (getattr(bank, "program", bank),
+                                 bank.feed_dispatch(xdev))
                         for bucket, bank in banks.items()}
         # secondaries fetch internally; they run while the banks are in
         # flight (and only on their own block cadence)

@@ -29,6 +29,14 @@ class AircraftCache:
             entry = self._cache.setdefault(key, {})
             entry.update({k: v for k, v in fields.items() if v is not None})
             entry["lastseen"] = now
+            # derive tail number + country from the 24-bit address once
+            # (reference owrx/icao.py enrichment of aircraft entries)
+            icao_hex = entry.get("icao")
+            if icao_hex and "country" not in entry \
+                    and "registration" not in entry:
+                from openwebrx_tpu.services.icao import enrich
+                for k, v in enrich(str(icao_hex)).items():
+                    entry.setdefault(k, v)
             snapshot = dict(entry)
         for cb in list(self.subscribers):
             try:

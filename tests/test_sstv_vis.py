@@ -1,0 +1,139 @@
+"""SSTV VIS-code mode detection + Scottie/Robot decode (VERDICT r3 item 6).
+
+Reference surface: owrx/sstv.py:65-226 — the decoder announces mode/width/
+height from the VIS header and supports multiple mode families; a fixed
+Martin M1 decode garbles Scottie or Robot transmissions.
+"""
+
+import numpy as np
+
+from openwebrx_tpu.models.secondary import IF_RATE
+from openwebrx_tpu.services.sstv import (
+    MODES, SSTV_CARRIER, SstvDecoder, synthesize_vis,
+)
+
+RATE = 3000.0
+
+
+def tone(freq, ms, fs=RATE):
+    return np.full(int(fs * ms / 1000.0), float(freq))
+
+
+def scan(comp, ms, fs=RATE):
+    n = int(fs * ms / 1000.0)
+    px = np.repeat(comp, n // len(comp) + 1)[:n]
+    return 1500.0 + px / 255.0 * 800.0
+
+
+def to_norm(freq_hz: np.ndarray) -> np.ndarray:
+    """Frequency trace (Hz) → the chain's normalized output."""
+    return ((freq_hz - SSTV_CARRIER) / (IF_RATE / 2)).astype(np.float32)
+
+
+def synthesize_scottie(mode: str, rows_rgb: np.ndarray) -> np.ndarray:
+    """Wire-accurate Scottie: VIS, start sync, then per line
+    [sep G][sep B][sync][porch R] (sync mid-line, before red)."""
+    spec = MODES[mode]
+    parts = [synthesize_vis(mode, RATE), tone(1200, spec["sync_ms"])]
+    for row in rows_rgb:
+        parts.append(tone(1500, spec["separator_ms"]))
+        parts.append(scan(row[:, 1], spec["scan_ms"]))      # G
+        parts.append(tone(1500, spec["separator_ms"]))
+        parts.append(scan(row[:, 2], spec["scan_ms"]))      # B
+        parts.append(tone(1200, spec["sync_ms"]))
+        parts.append(tone(1500, spec["separator_ms"]))      # porch
+        parts.append(scan(row[:, 0], spec["scan_ms"]))      # R
+    return np.concatenate(parts)
+
+
+def synthesize_robot36(rows_rgb: np.ndarray) -> np.ndarray:
+    """Robot 36: [sync][porch][Y][sep][porch][chroma], R−Y on even lines
+    (1500 Hz separator), B−Y on odd (2300 Hz)."""
+    spec = MODES["robot36"]
+    parts = [synthesize_vis("robot36", RATE)]
+    for i, row in enumerate(rows_rgb):
+        r, g, b = (row[:, k].astype(np.float32) for k in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        parts.append(tone(1200, spec["sync_ms"]))
+        parts.append(tone(1500, spec["porch_ms"]))
+        parts.append(scan(np.clip(y, 0, 255).astype(np.uint8), spec["y_ms"]))
+        if i % 2 == 0:
+            cr = np.clip((r - y) / 1.402 + 128.0, 0, 255)
+            parts.append(tone(1500, spec["sep_ms"]))
+            parts.append(tone(1900, spec["chroma_porch_ms"]))
+            parts.append(scan(cr.astype(np.uint8), spec["chroma_ms"]))
+        else:
+            cb = np.clip((b - y) / 1.772 + 128.0, 0, 255)
+            parts.append(tone(2300, spec["sep_ms"]))
+            parts.append(tone(1900, spec["chroma_porch_ms"]))
+            parts.append(scan(cb.astype(np.uint8), spec["chroma_ms"]))
+    return np.concatenate(parts)
+
+
+class TestVisDetection:
+    def _run(self, freq_trace):
+        seen = []
+        rows = []
+        dec = SstvDecoder(on_row=rows.append,
+                          on_mode=lambda m, w, h: seen.append((m, w, h)))
+        x = to_norm(freq_trace)
+        for blk in np.array_split(x, max(1, len(x) // 900)):
+            dec.feed(blk)
+        return seen, rows
+
+    def test_scottie_s1_golden(self):
+        """Golden: a synthesized Scottie S1 frame auto-detects and decodes
+        with correct colors (a Martin-fixed decoder would garble it)."""
+        width = 320
+        rows = np.zeros((8, width, 3), np.uint8)
+        rows[:4, :, 0] = 220                  # red top rows
+        rows[4:, :, 2] = 220                  # blue bottom rows
+        seen, decoded = self._run(synthesize_scottie("scottie_s1", rows))
+        assert seen and seen[0][0] == "scottie_s1"
+        assert seen[0][1:] == (320, 256)
+        assert len(decoded) >= 4, f"only {len(decoded)} rows"
+        # skip the first (boundary) row; top rows must be red, not green/blue
+        red = [r for r in decoded[1:4]
+               if r[:, 0].mean() > 150 and r[:, 1].mean() < 80
+               and r[:, 2].mean() < 80]
+        assert red, "red rows not recovered — Scottie channel order wrong"
+        blue = [r for r in decoded[4:]
+                if r[:, 2].mean() > 130 and r[:, 1].mean() < 80]
+        assert blue, "blue rows not recovered"
+
+    def test_martin_m2_vis(self):
+        spec = MODES["martin_m2"]
+        width = 320
+        rows = np.zeros((4, width, 3), np.uint8)
+        rows[:, :, 1] = 200
+        parts = [synthesize_vis("martin_m2", RATE)]
+        for row in rows:
+            parts.append(tone(1200, spec["sync_ms"]))
+            for ch in "GBR":
+                parts.append(tone(1500, spec["separator_ms"]))
+                parts.append(scan(row[:, {"G": 1, "B": 2, "R": 0}[ch]],
+                                  spec["scan_ms"]))
+        seen, decoded = self._run(np.concatenate(parts))
+        assert seen and seen[0][0] == "martin_m2"
+        assert decoded and decoded[1][:, 1].mean() > 140
+
+    def test_robot36_golden(self):
+        width = 320
+        rows = np.zeros((8, width, 3), np.uint8)
+        rows[:, :, 0] = 200                    # uniform red-ish frame
+        seen, decoded = self._run(synthesize_robot36(rows))
+        assert seen and seen[0][0] == "robot36"
+        assert seen[0][1:] == (320, 240)
+        assert len(decoded) >= 4
+        mid = decoded[2]
+        assert mid[:, 0].mean() > 120 and mid[:, 2].mean() < 90
+
+    def test_wrong_parity_rejected(self):
+        """A corrupted VIS (parity flipped) must not lock a mode."""
+        good = synthesize_vis("scottie_s1", RATE)
+        # flip the parity bit region (last data+parity bit before stop)
+        bit = int(30.0 / 1000.0 * RATE)
+        bad = good.copy()
+        bad[-2 * bit:-bit] = np.where(bad[-2 * bit:-bit] > 1200, 1100, 1300)
+        seen, _ = self._run(np.concatenate([bad, tone(1900, 400)]))
+        assert not seen
