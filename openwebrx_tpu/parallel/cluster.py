@@ -210,6 +210,30 @@ class DistributedReceiver:
         this host owns (packed float32 if the chain output is complex)."""
         return self.complete_local(self.dispatch_local(x_local))
 
+    def time_collectives(self, blocks: int = 16) -> float:
+        """Per-step seconds of the step's COLLECTIVES alone (halo ppermute
+        + tail psum + all_to_all re-shard on production shapes, compute
+        stripped) — the transport half of the compute-vs-collective
+        breakdown SCALING.json reports."""
+        import time
+
+        import jax
+        from openwebrx_tpu.parallel.pfb import collective_probe
+
+        probe, send_shape, y_shape = collective_probe(
+            self.mesh, "chan", self.bank.prototype, self.bank.m,
+            self.bank.block)
+        send = jax.device_put(np.zeros(send_shape, np.float32),
+                              self._sharded)
+        y = jax.device_put(np.zeros(y_shape, np.float32), self._sharded)
+        np.asarray(probe(send, y))                   # compile + warm
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(blocks):
+            out = probe(send, y)
+        np.asarray(out)
+        return (time.perf_counter() - t0) / blocks
+
 
 def _dryrun(cluster: ClusterInfo, m: int = 8, seconds: float = 0.02,
             devices=None):
@@ -265,7 +289,9 @@ def _bench(cluster: ClusterInfo, m: int, blocks: int,
         pend = nxt
     rx.complete_local(pend)
     dt = time.perf_counter() - t0
-    return bank.block * blocks / dt, dt / blocks
+    coll_s = rx.time_collectives(min(blocks, 12)) if \
+        rx.n_devices > 1 or cluster.num_processes > 1 else 0.0
+    return bank.block * blocks / dt, dt / blocks, coll_s
 
 
 def main(argv=None):
@@ -288,10 +314,11 @@ def main(argv=None):
            "local_devices": cluster.local_device_count,
            "global_devices": cluster.global_device_count}
     if args.bench_blocks:
-        sps, step_s = _bench(cluster, args.channels, args.bench_blocks,
-                             seconds=args.block_seconds)
+        sps, step_s, coll_s = _bench(cluster, args.channels,
+                                     args.bench_blocks,
+                                     seconds=args.block_seconds)
         out.update(samples_per_s=sps, step_seconds=step_s,
-                   channels=args.channels)
+                   collective_seconds=coll_s, channels=args.channels)
     else:
         check, nchan = _dryrun(cluster, m=args.channels)
         out.update(owned_channels=nchan, checksum=check)

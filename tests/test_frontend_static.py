@@ -82,8 +82,14 @@ def test_dom_ids_exist():
 
 
 def test_script_includes_exist():
-    html = read("index.html")
+    from openwebrx_tpu.web.http import JS_BUNDLES
+    html = read("index.html") + read("map.html")
     for src in re.findall(r'<script src="([^"]+)"', html):
+        if src in JS_BUNDLES:    # served by the asset pipeline, not disk
+            for part in JS_BUNDLES[src]:
+                assert os.path.isfile(os.path.join(HTDOCS, part)), \
+                    f"bundle {src} misses {part}"
+            continue
         assert os.path.isfile(os.path.join(HTDOCS, src)), f"missing {src}"
 
 
