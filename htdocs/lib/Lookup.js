@@ -1,16 +1,71 @@
-/* Lookup panel: callsign / MMSI details on click.
+/* Lookup: callsign / MMSI / aircraft entity resolution + country flags.
  *
- * Parity target: reference htdocs/lib/Lookup.js (1176 LoC: callsign,
- * vessel and flight info panels with external links). Implementation is
- * original: queries this server's /api/lookup for country/entity data
- * and renders a floating panel with configurable external links
- * (callsign_url / vessel_url from the receiver config).
+ * Parity target: reference htdocs/lib/Lookup.js (callsign→country,
+ * MMSI→country/type tables + flag helpers used across panels and map).
+ * Implementation is original: the authoritative tables live SERVER-side
+ * (core/lookup.py ITU ranges, services/icao.py) behind /api/lookup; the
+ * client keeps an async resolution cache and re-renders rows when an
+ * answer lands.  Flags are synthesized from ISO codes (regional
+ * indicator pairs), as the reference does.
  */
 "use strict";
 
 const Lookup = {
   panel: null,
+  _cache: new Map(),          /* query → info | null (resolved) */
+  _pending: new Map(),        /* query → Promise */
 
+  /* two-letter ISO code → flag emoji (reference ccode2flag) */
+  flag(ccode) {
+    if (!ccode || ccode.length !== 2) return "";
+    const a = 0x1F1E6;
+    return String.fromCodePoint(a + ccode.toUpperCase().charCodeAt(0) - 65,
+                                a + ccode.toUpperCase().charCodeAt(1) - 65);
+  },
+
+  /* flag + name from {ccode, country} */
+  countryText(info) {
+    if (!info) return "";
+    const f = this.flag(info.ccode);
+    const n = info.country || "";
+    return f && n ? `${f} ${n}` : (f || n);
+  },
+
+  /* cached async resolve; onready re-render hook fires when an answer
+     arrives for a previously-unknown query */
+  resolve(query, onready) {
+    query = String(query || "").trim();
+    if (!query) return null;
+    if (this._cache.has(query)) return this._cache.get(query);
+    if (!this._pending.has(query)) {
+      const p = fetch(`/api/lookup?q=${encodeURIComponent(query)}`)
+        .then(r => r.ok ? r.json() : null)
+        .catch(() => null)
+        .then(info => {
+          this._cache.set(query, info);
+          this._pending.delete(query);
+          if (onready) onready(info);
+          return info;
+        });
+      this._pending.set(query, p);
+    } else if (onready) {
+      this._pending.get(query).then(onready);
+    }
+    return undefined;           /* in flight */
+  },
+
+  /* synchronous helpers for table cells: empty until resolved */
+  callsignFlag(callsign, onready) {
+    const info = this.resolve(callsign, onready);
+    return info ? this.flag(info.ccode) : "";
+  },
+
+  mmsiCountry(mmsi, onready) {
+    const info = this.resolve(mmsi, onready);
+    return info ? this.countryText(info) : "";
+  },
+
+  /* ----------------------------------------------------------- panel -- */
   ensure() {
     if (this.panel) return this.panel;
     const p = document.createElement("div");
@@ -39,11 +94,9 @@ const Lookup = {
     const body = p.querySelector("#lookup-body");
     body.textContent = "looking up…";
     p.style.display = "block";
-    let info = null;
-    try {
-      const r = await fetch(`/api/lookup?q=${encodeURIComponent(query)}`);
-      if (r.ok) info = await r.json();
-    } catch (e) { /* offline: links still work */ }
+    let info = this.resolve(query);
+    if (info === undefined)
+      info = await this._pending.get(query);
     body.innerHTML = "";
     const row = (label, value) => {
       if (value === undefined || value === null || value === "") return;
@@ -56,15 +109,19 @@ const Lookup = {
     };
     if (info && info.kind === "callsign") {
       row("type", "amateur callsign");
-      row("country", info.country);
-      if (info.itu_code) row("ISO", info.itu_code.toUpperCase());
+      row("country", this.countryText(info));
+      if (info.ccode) row("ISO", info.ccode.toUpperCase());
+      if (info.distance_km !== undefined)
+        row("distance", `${Math.round(info.distance_km)} km`);
+      if (info.bearing_deg !== undefined)
+        row("bearing", `${Math.round(info.bearing_deg)}°`);
     } else if (info && info.kind === "mmsi") {
       row("type", `MMSI — ${info.type || ""}`);
-      row("country", info.country);
-    } else if (info && info.kind === "flight") {
-      row("type", "flight / aircraft");
+      row("country", this.countryText(info));
+    } else if (info && (info.kind === "aircraft" || info.kind === "flight")) {
+      row("type", "aircraft (24-bit ICAO address)");
       row("registration", info.registration);
-      row("country", info.country);
+      row("country", this.countryText(info));
     } else {
       row("info", "no local data");
     }
@@ -82,6 +139,9 @@ const Lookup = {
     };
     if (/^\d{7,9}$/.test(query)) {
       add("vessel info", config.vessel_url);
+    } else if (/^[0-9a-fA-F]{6}$/.test(query) && info
+               && info.kind === "aircraft") {
+      add("flight info", config.flight_url);
     } else {
       add("callsign info", config.callsign_url);
     }

@@ -57,6 +57,19 @@ class TablePanel {
           td.onclick = () => window.Lookup.show(text);
         }
       }
+      if (c.flagQuery && window.Lookup) {
+        /* async country flag cell: renders when the server's lookup
+           answers (cached thereafter — reference panels show flags
+           beside callsigns/MMSIs via Lookup tables) */
+        const q = c.flagQuery(ev);
+        if (q) {
+          const fill = (info) => {
+            if (info) td.textContent = Lookup.countryText(info);
+          };
+          const info = Lookup.resolve(q, fill);
+          if (info) fill(info);
+        }
+      }
       tr.appendChild(td);
     }
     this.body.appendChild(tr);
@@ -77,6 +90,8 @@ class WsjtPanel extends TablePanel {
       {key: "msg", label: "message"},
       {key: "callsign", label: "call", lookup: true},
       {key: "locator", label: "grid"},
+      {key: "_country", label: "country",
+       flagQuery: (ev) => ev.callsign},
     ]);
   }
 }
@@ -85,6 +100,8 @@ class PacketPanel extends TablePanel {
   constructor() {
     super("Packet", [
       {key: "source", label: "from", lookup: true},
+      {key: "_country", label: "country",
+       flagQuery: (ev) => (ev.source || "").split("-")[0]},
       {key: "destination", label: "to"},
       {key: "symbol", label: "sym",
        fmt: (v, ev) => v ? `${ev.symboltable || "/"}${v}` : ""},
@@ -115,6 +132,8 @@ class DscPanel extends TablePanel {
       {key: "format", label: "format"},
       {key: "src", label: "from (MMSI)", lookup: true,
        fmt: (v, ev) => v || ev.mmsi || ""},
+      {key: "_country", label: "country",
+       flagQuery: (ev) => ev.src || ev.mmsi},
       {key: "dst", label: "to"},
       {key: "category", label: "category"},
       {key: "telecommand", label: "telecommand",
@@ -174,9 +193,13 @@ class AircraftPanel {
     this.root = el("div", {class: "msg-panel"});
     this.table = el("table", {class: "msg-table"});
     const hr = el("tr");
-    for (const h of ["mode", "icao", "flight", "alt ft", "speed kt",
-                     "position", "last"])
-      hr.appendChild(el("th", {}, h));
+    /* reference ADSB column set (MessagePanel.js ADSB table) plus HFDL
+       detail (freq); registration/country come from the server's ICAO
+       allocation decode (services/icao.py) */
+    this.COLS = ["mode", "icao", "flight", "reg", "country", "squawk",
+                 "alt ft", "spd kt", "trk°", "v ft/m", "freq",
+                 "position", "last"];
+    for (const h of this.COLS) hr.appendChild(el("th", {}, h));
     this.table.appendChild(el("thead", {}, hr));
     this.body = el("tbody");
     this.table.appendChild(this.body);
@@ -189,9 +212,13 @@ class AircraftPanel {
     let rec = this.aircraft.get(key);
     if (!rec) {
       rec = {fields: {}, tr: el("tr")};
-      for (let i = 0; i < 7; i++) rec.tr.appendChild(el("td"));
+      for (let i = 0; i < this.COLS.length; i++)
+        rec.tr.appendChild(el("td"));
       this.aircraft.set(key, rec);
       this.body.appendChild(rec.tr);
+      rec.tr.children[1].style.cursor = "pointer";
+      rec.tr.children[1].onclick = () =>
+        window.Lookup && Lookup.show(rec.fields.icao || key);
     }
     Object.assign(rec.fields, ev);
     rec.seen = Date.now();
@@ -199,14 +226,22 @@ class AircraftPanel {
   }
   render(rec) {
     const f = rec.fields, tds = rec.tr.children;
+    const flag = (window.Lookup && f.ccode) ? Lookup.flag(f.ccode) : "";
     tds[0].textContent = f.mode || "";
     tds[1].textContent = f.icao || f.tail || "";
     tds[2].textContent = f.flight || "";
-    tds[3].textContent = f.altitude !== undefined ? f.altitude : "";
-    tds[4].textContent = f.groundspeed !== undefined ? f.groundspeed : "";
-    tds[5].textContent = (f.lat !== undefined && f.lon !== undefined)
+    tds[3].textContent = f.registration || f.tail || "";
+    tds[4].textContent = flag ? `${flag} ${f.ccode}` : (f.country || "");
+    tds[5].textContent = f.squawk || "";
+    tds[6].textContent = f.altitude !== undefined ? f.altitude : "";
+    tds[7].textContent = f.groundspeed !== undefined
+      ? Math.round(f.groundspeed) : "";
+    tds[8].textContent = f.track !== undefined ? Math.round(f.track) : "";
+    tds[9].textContent = f.vspeed !== undefined ? f.vspeed : "";
+    tds[10].textContent = f.freq_mhz !== undefined ? f.freq_mhz : "";
+    tds[11].textContent = (f.lat !== undefined && f.lon !== undefined)
       ? `${(+f.lat).toFixed(3)} ${(+f.lon).toFixed(3)}` : "";
-    tds[6].textContent = Math.round((Date.now() - rec.seen) / 1000) + "s";
+    tds[12].textContent = Math.round((Date.now() - rec.seen) / 1000) + "s";
   }
   tick() {
     const cutoff = Date.now() - 300 * 1000;

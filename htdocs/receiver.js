@@ -168,6 +168,7 @@ function onMessage(evt) {
   }
   const data = new Uint8Array(evt.data);
   const type = data[0], payload = data.subarray(1);
+  app.lastFrame = Date.now();       // connection-quality freshness
   if (type === 1) {
     let row;
     if (app.config.fft_compression === "adpcm") {
@@ -540,6 +541,27 @@ setInterval(() => {
   if (!el || el.style.display === "none") return;
   const s = app.audio.getStats();
   el.textContent = `${s.mode} · ${s.bufferedMs} ms · ${s.underruns} drops`;
+}, 1000);
+
+/* UTC clock + connection-quality dot (reference clock/progressbars):
+   green = frames flowing, amber = waterfall stalled >2 s or audio
+   underruns accumulating, red = socket down */
+app.lastFrame = 0;
+setInterval(() => {
+  const clock = document.getElementById("clock");
+  if (clock) clock.textContent = new Date().toISOString()
+    .slice(11, 19) + " UTC";
+  const dot = document.getElementById("conn-quality");
+  if (!dot) return;
+  const open = app.ws && app.ws.readyState === WebSocket.OPEN;
+  const fresh = Date.now() - app.lastFrame < 2000;
+  const s = app.audio.getStats ? app.audio.getStats() : {underruns: 0};
+  const drops = s.underruns > (app._lastDrops || 0);
+  app._lastDrops = s.underruns;
+  dot.style.color = !open ? "#e53935"
+    : (fresh && !drops) ? "#2e7d32" : "#fbc02d";
+  dot.title = !open ? "disconnected"
+    : `connection ok — ${s.bufferedMs || 0} ms audio buffered`;
 }, 1000);
 
 document.getElementById("record").addEventListener("click", (e) => {

@@ -445,6 +445,18 @@ class CountryCode:
                     CountryCode._MAP[code] = name.split(" (")[0]
         return CountryCode._MAP.get(ccode.lower())
 
+    _BY_NAME = None
+
+    @staticmethod
+    def from_name(country: str):
+        """Country display name → ISO code (for flag rendering of entities
+        whose tables store names, e.g. the MMSI MID table)."""
+        if CountryCode._BY_NAME is None:
+            CountryCode.get_country("us")        # populate _MAP
+            CountryCode._BY_NAME = {
+                name.lower(): code for code, name in CountryCode._MAP.items()}
+        return CountryCode._BY_NAME.get(country.split(" (")[0].lower())
+
 
 # ITU Maritime Identification Digits (Table 1 of ITU-R M.585 allocation)
 MID = {

@@ -43,6 +43,7 @@ class AircraftCache:
                 cb(key, snapshot)
             except Exception:
                 pass
+        return snapshot
 
     def expire(self):
         cutoff = time.time() - self.ttl
@@ -77,8 +78,13 @@ class HfdlParser:
                 and (pos.get("lat") or pos.get("lon")):
             fields["lat"] = pos["lat"]
             fields["lon"] = pos["lon"]
-        self.cache.update(str(key), fields)
-        return fields
+        # HFDL detail columns (reference MessagePanel HFDL table): channel
+        # frequency and signal level as reported by dumphfdl
+        if hfdl.get("freq"):
+            fields["freq_mhz"] = round(float(hfdl["freq"]) / 1e6, 3)
+        if hfdl.get("sig_level") is not None:
+            fields["sig_level"] = round(float(hfdl["sig_level"]), 1)
+        return self.cache.update(str(key), fields)
 
 
 class Vdl2Parser:
@@ -207,5 +213,13 @@ class AdsbParser:
                 fields["altitude"] = int(parts[11])
             except ValueError:
                 pass
-        self.cache.update(icao, fields)
-        return fields
+        # further SBS fields (reference ADSB table columns): ground speed,
+        # track, vertical rate, squawk
+        for i, key, conv in ((12, "groundspeed", float), (13, "track", float),
+                             (16, "vspeed", int), (17, "squawk", str)):
+            if len(parts) > i and parts[i].strip():
+                try:
+                    fields[key] = conv(parts[i].strip())
+                except ValueError:
+                    pass
+        return self.cache.update(icao, fields)

@@ -68,8 +68,10 @@ def build_router() -> Router:
                         "text/plain; version=0.0.4")
 
     def lookup(request: Request):
-        """Callsign / MMSI / registration lookup for the frontend Lookup
-        panel (reference owrx/lookup.py surface)."""
+        """Callsign / MMSI / ICAO-address lookup for the frontend Lookup
+        panel and table flags (reference owrx/lookup.py + owrx/icao.py
+        surfaces).  Every kind carries a ``ccode`` for flag rendering."""
+        import re as _re
         from openwebrx_tpu.core.lookup import HamCallsign, MmsiNumber
         q = (request.query.get("q") or "").strip()
         if not q:
@@ -77,11 +79,26 @@ def build_router() -> Router:
         if q.isdigit() and len(q) in (7, 8, 9):
             info = MmsiNumber.parse(q.zfill(9))
             info["kind"] = "mmsi"
+            country = info.get("country")
+            if country:
+                from openwebrx_tpu.core.lookup import CountryCode
+                # MID table stores names; map back to an ISO code if known
+                code = CountryCode.from_name(country)
+                if code:
+                    info["ccode"] = code
             return json_response(info)
+        # 24-bit ICAO hex address → registration + country
+        if _re.fullmatch(r"[0-9a-fA-F]{6}", q):
+            from openwebrx_tpu.services.icao import enrich
+            info = enrich(q)
+            if info:
+                info.update(kind="aircraft", query=q)
+                return json_response(info)
         entry = HamCallsign.get_country(q)
         out = {"kind": "callsign", "query": q}
         if entry:
             out["itu_code"], out["country"] = entry
+            out["ccode"] = entry[0]
         return json_response(out)
 
     router.add("/status.json", status)

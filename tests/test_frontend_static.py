@@ -126,3 +126,16 @@ def test_lookup_ids_internally_consistent():
     tmpl_ids = set(re.findall(r'id="([^"]+)"', template))
     for ref in re.findall(r'querySelector\("#([^"]+)"\)', src):
         assert ref in tmpl_ids, f"Lookup queries missing #{ref}"
+
+
+def test_new_ui_elements_wired():
+    """Clock, connection-quality dot, passband drag handlers."""
+    html = read("index.html")
+    assert 'id="clock"' in html and 'id="conn-quality"' in html
+    receiver = read("receiver.js")
+    assert "conn-quality" in receiver and "lastFrame" in receiver
+    assert "pointerdown" in receiver and "ew-resize" in receiver
+    lookup = read("lib/Lookup.js")
+    assert "flag(" in lookup and "resolve(" in lookup
+    panel = read("lib/MessagePanel.js")
+    assert "flagQuery" in panel and "registration" in panel
