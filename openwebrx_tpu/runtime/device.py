@@ -357,6 +357,20 @@ class ExecAudioHandle:
         self._base_offset = float(offset_hz)
         self._drm_monitor = None
         self._drm_socket_path = None
+        self._hdr = None
+        self.pipeline = None
+        if mode == "hdr" and command_override is None:
+            # in-process decode through libnrsc5 when the library is
+            # present (reference csdr/module/nrsc5.py binding) — no
+            # subprocess, IQ flows straight from the TPU channel into the
+            # decoder and 44.1 kHz audio/ID3/SIS come back via callbacks
+            from openwebrx_tpu.services import hdradio
+            if hdradio.available():
+                self.iq = runtime.open_iq_channel(if_rate, offset_hz, wire)
+                self._hdr = hdradio.HdRadioDecoder(
+                    on_audio=self._on_audio_bytes, on_meta=self._on_meta)
+                self.iq.iq_cb = self._hdr.feed
+                return
         self.iq = runtime.open_iq_channel(if_rate, offset_hz, wire)
         commandline = list(command_override or cmd(if_rate))
         on_stderr = None
@@ -412,7 +426,10 @@ class ExecAudioHandle:
                 except OSError:
                     pass
         self.runtime.release_secondary(self.iq)
-        self.pipeline.close()
+        if self._hdr is not None:
+            self._hdr.close()
+        if self.pipeline is not None:
+            self.pipeline.close()
 
 
 class DigitalVoiceHandle:
