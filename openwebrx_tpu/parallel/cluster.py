@@ -250,10 +250,15 @@ def _dryrun(cluster: ClusterInfo, m: int = 8, seconds: float = 0.02,
     x = (rng.standard_normal(bank.block)
          + 1j * rng.standard_normal(bank.block)).astype(np.complex64) * 0.1
     p = cluster.process_id
-    idx, audio, check = rx.process_local(x[p * rx.slab:(p + 1) * rx.slab])
+    # several blocks: block 1 is all filter-warmup zeros (FIR group delay
+    # exceeds a tiny block), which would make the cross-host checksum
+    # equality vacuous — checksum a post-warmup block instead
+    for _ in range(3):
+        idx, audio, check = rx.process_local(x[p * rx.slab:(p + 1) * rx.slab])
     # each host owns its channel slab: m/num_processes channels
     assert len(idx) == m // cluster.num_processes, (len(idx), m)
     assert audio.shape[0] == len(idx)
+    assert check != 0.0, "dryrun audio is silent — checksum is meaningless"
     return check, len(idx)
 
 
