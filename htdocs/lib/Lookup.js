@@ -33,23 +33,25 @@ const Lookup = {
 
   /* cached async resolve; onready re-render hook fires when an answer
      arrives for a previously-unknown query */
-  resolve(query, onready) {
+  resolve(query, onready, kind) {
     query = String(query || "").trim();
     if (!query) return null;
-    if (this._cache.has(query)) return this._cache.get(query);
-    if (!this._pending.has(query)) {
-      const p = fetch(`/api/lookup?q=${encodeURIComponent(query)}`)
+    const key = kind ? `${kind}:${query}` : query;
+    if (this._cache.has(key)) return this._cache.get(key);
+    if (!this._pending.has(key)) {
+      const extra = kind ? `&kind=${kind}` : "";
+      const p = fetch(`/api/lookup?q=${encodeURIComponent(query)}${extra}`)
         .then(r => r.ok ? r.json() : null)
         .catch(() => null)
         .then(info => {
-          this._cache.set(query, info);
-          this._pending.delete(query);
+          this._cache.set(key, info);
+          this._pending.delete(key);
           if (onready) onready(info);
           return info;
         });
-      this._pending.set(query, p);
+      this._pending.set(key, p);
     } else if (onready) {
-      this._pending.get(query).then(onready);
+      this._pending.get(key).then(onready);
     }
     return undefined;           /* in flight */
   },
@@ -86,7 +88,7 @@ const Lookup = {
 
   hide() { if (this.panel) this.panel.style.display = "none"; },
 
-  async show(query) {
+  async show(query, kind) {
     const p = this.ensure();
     query = String(query).trim();
     if (!query) return;
@@ -94,9 +96,9 @@ const Lookup = {
     const body = p.querySelector("#lookup-body");
     body.textContent = "looking up…";
     p.style.display = "block";
-    let info = this.resolve(query);
+    let info = this.resolve(query, null, kind);
     if (info === undefined)
-      info = await this._pending.get(query);
+      info = await this._pending.get(kind ? `${kind}:${query}` : query);
     body.innerHTML = "";
     const row = (label, value) => {
       if (value === undefined || value === null || value === "") return;

@@ -218,7 +218,7 @@ class AircraftPanel {
       this.body.appendChild(rec.tr);
       rec.tr.children[1].style.cursor = "pointer";
       rec.tr.children[1].onclick = () =>
-        window.Lookup && Lookup.show(rec.fields.icao || key);
+        window.Lookup && Lookup.show(rec.fields.icao || key, "aircraft");
     }
     Object.assign(rec.fields, ev);
     rec.seen = Date.now();

@@ -447,6 +447,27 @@ class CountryCode:
 
     _BY_NAME = None
 
+    # MID display names absent from the ITU SERIES table (territories with
+    # their own maritime identity but no amateur prefix entry) → ISO code
+    _NAME_ALIASES = {
+        "adélie land": "tf", "alaska": "us", "american samoa": "as",
+        "anguilla": "ai", "ascension island": "sh", "azores": "pt",
+        "bermuda": "bm", "british virgin islands": "vg",
+        "cayman islands": "ky", "christmas island": "cx",
+        "cocos (keeling) islands": "cc", "crozet archipelago": "tf",
+        "curaçao": "cw", "falkland islands": "fk", "faroe islands": "fo",
+        "french guiana": "gf", "french polynesia": "pf", "gibraltar": "gi",
+        "greenland": "gl", "guadeloupe": "gp", "hong kong": "hk",
+        "kerguelen islands": "tf", "liechtenstein": "li", "madeira": "pt",
+        "martinique": "mq", "montserrat": "ms", "new caledonia": "nc",
+        "northern mariana islands": "mp", "pitcairn islands": "pn",
+        "puerto rico": "pr", "réunion": "re", "saint helena": "sh",
+        "saint paul and amsterdam islands": "tf",
+        "saint pierre and miquelon": "pm", "taiwan": "tw",
+        "turks and caicos islands": "tc", "u.s. virgin islands": "vi",
+        "wallis and futuna": "wf",
+    }
+
     @staticmethod
     def from_name(country: str):
         """Country display name → ISO code (for flag rendering of entities
@@ -455,7 +476,10 @@ class CountryCode:
             CountryCode.get_country("us")        # populate _MAP
             CountryCode._BY_NAME = {
                 name.lower(): code for code, name in CountryCode._MAP.items()}
-        return CountryCode._BY_NAME.get(country.split(" (")[0].lower())
+            CountryCode._BY_NAME.update(CountryCode._NAME_ALIASES)
+        key = country.split(" (")[0].lower()
+        return CountryCode._BY_NAME.get(key) \
+            or CountryCode._BY_NAME.get(country.lower())
 
 
 # ITU Maritime Identification Digits (Table 1 of ITU-R M.585 allocation)

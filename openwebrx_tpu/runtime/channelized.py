@@ -287,7 +287,6 @@ class ChannelizedBank:
         self._accum.append(xdev)
         if len(self._accum) < self.chunk_ratio:
             return None
-        import jax.numpy as jnp
         x = jnp.concatenate(self._accum, axis=0)
         self._accum = []
         return self.dispatch(x)

@@ -522,6 +522,14 @@ class ChannelHandle:
         return self.runtime.banks[self.bucket_key]
 
     def set_offset(self, offset_hz: float):
+        if self.slot is None:
+            return
+        if self.bucket_key.startswith("pfb:"):
+            # the new dial may not fit its PFB channel (edge-straddling
+            # passband) or may collide with another service's channel —
+            # the runtime re-fits, migrating to a full-rate slot if needed
+            self.runtime.retune_service(self, offset_hz)
+            return
         # a PFB-backed slot may land in a different channel after retune
         # (ChannelizedBank.retune returns the new index)
         new_slot = self.bank.retune(self.slot, offset_hz)
@@ -529,13 +537,16 @@ class ChannelHandle:
             self.slot = new_slot
 
     def set_squelch(self, level_db: float):
-        self.bank.set_squelch(self.slot, level_db)
+        if self.slot is not None:
+            self.bank.set_squelch(self.slot, level_db)
 
     def set_bandpass(self, low_hz: float, high_hz: float):
-        self.bank.set_bandpass(self.slot, low_hz, high_hz)
+        if self.slot is not None:
+            self.bank.set_bandpass(self.slot, low_hz, high_hz)
 
     def set_nr(self, threshold_db: float):
-        self.bank.set_nr(self.slot, threshold_db)
+        if self.slot is not None:
+            self.bank.set_nr(self.slot, threshold_db)
 
     def set_mode(self, mode: str, offset_hz: float | None = None):
         """Mode switch = move to another bank (reference: chain surgery)."""
@@ -711,6 +722,35 @@ class DeviceRuntime:
             self.handles.append(handle)
         return handle
 
+    def retune_service(self, handle: ChannelHandle, offset_hz: float):
+        """Retune a PFB-backed service handle, re-running the fit check:
+        stays in the filterbank when the new dial fits a free (or its own)
+        channel, otherwise migrates to a full-rate 'svc:' slot — the same
+        routing open_channel applies (a straddling passband would get
+        transition-band-attenuated garbage from the critically-sampled
+        PFB)."""
+        with self._lock:
+            bank = self.banks[handle.bucket_key]
+            lo, hi = float(bank._low[handle.slot]), float(bank._high[handle.slot])
+            k, _ = bank.channel_for(offset_hz)
+            own = int(bank._chan[handle.slot]) == k
+            if bank.fits(offset_hz, lo, hi) and (own or
+                                                 not bank.channel_in_use(k)):
+                handle.slot = bank.retune(handle.slot, offset_hz)
+                return
+            # migrate to the full-rate service bank, keeping controls
+            sq = float(bank._squelch[handle.slot])
+            nr = float(bank._nr[handle.slot])
+            bank.remove_channel(handle.slot)
+            handle.slot = None            # handle is inert if reopen fails
+            bucket = handle.bucket_key.split(":", 1)[-1]
+            new_bank = self._get_bank(f"svc:{bucket}")
+            slot = new_bank.add_channel(offset_hz, squelch_db=sq)
+            new_bank.set_bandpass(slot, lo, hi)
+            new_bank.set_nr(slot, nr)
+            handle.slot = slot
+            handle.bucket_key = f"svc:{bucket}"
+
     def open_secondary(self, mode: str, offset_hz: float) -> SecondaryHandle:
         handle = SecondaryHandle(self, mode, offset_hz)
         with self._lock:
@@ -733,7 +773,8 @@ class DeviceRuntime:
         with self._lock:
             if handle in self.handles:
                 self.handles.remove(handle)
-                self.banks[handle.bucket_key].remove_channel(handle.slot)
+                if handle.slot is not None:
+                    self.banks[handle.bucket_key].remove_channel(handle.slot)
 
     def switch_mode(self, handle: ChannelHandle, mode: str,
                     offset_hz: float | None = None):
@@ -763,8 +804,11 @@ class DeviceRuntime:
                 return
             bank.remove_channel(handle.slot)
             if is_pfb:
-                # re-run the PFB-fit routing for the new mode
+                # re-run the PFB-fit routing for the new mode; if the
+                # reopen fails the handle goes inert (slot None) instead of
+                # aliasing a freed slot some new listener may take over
                 self.handles.remove(handle)
+                handle.slot = None
                 new_handle = self.open_channel(mode, offset, service=True)
                 handle.slot = new_handle.slot
                 handle.mode = mode
@@ -965,7 +1009,7 @@ class DeviceRuntime:
             outputs[bucket] = (y_np, power_np, rds_np)
         for handle in handles:
             out = outputs.get(handle.bucket_key)
-            if out is None:
+            if out is None or handle.slot is None:
                 continue
             y_np, power_np, rds_np = out
             if handle.audio_cb is not None:

@@ -68,6 +68,8 @@ class SstvDecoder:
         self.rows: list[np.ndarray] = []
         self._pending_gb = None        # scottie: G/B of the next row
         self._robot_prev = None        # robot36: (y_row, chroma, is_red)
+        self._auto = mode is None
+        self._sync_misses = 0
         if mode is not None:
             self._set_mode(mode)
         else:
@@ -181,9 +183,22 @@ class SstvDecoder:
             hz = self._to_hz(self._buf)
             start = self._find_sync(hz[: self.line_len + self.sync_len])
             if start is None:
-                # no sync in a whole line: drop most of it and rescan
+                # no sync in a whole line: drop most of it and rescan.  In
+                # auto mode, a run of missed syncs means the transmission
+                # ended mid-frame — re-arm the VIS detector so the NEXT
+                # image's header locks a fresh mode instead of its
+                # start/stop bits decoding as garbage lines
+                self._sync_misses += 1
+                if self._auto and self._sync_misses >= 4:
+                    self._spec = None
+                    self.mode = None
+                    self._pending_gb = None
+                    self._robot_prev = None
+                    self._sync_misses = 0
+                    return
                 self._buf = self._buf[self.line_len // 2:]
                 continue
+            self._sync_misses = 0
             if len(self._buf) < start + self.line_len:
                 return
             line_hz = hz[start: start + self.line_len]

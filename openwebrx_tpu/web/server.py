@@ -87,14 +87,19 @@ def build_router() -> Router:
                 if code:
                     info["ccode"] = code
             return json_response(info)
-        # 24-bit ICAO hex address → registration + country
-        if _re.fullmatch(r"[0-9a-fA-F]{6}", q):
+        # 24-bit ICAO hex address → registration + country.  6-hex-char
+        # strings are ambiguous with amateur callsigns (DF1ABC is both) —
+        # aircraft callers pass kind=aircraft explicitly; the heuristic
+        # path only treats hex as aircraft when it is NOT a valid callsign
+        want_aircraft = request.query.get("kind") == "aircraft"
+        is_hex = bool(_re.fullmatch(r"[0-9a-fA-F]{6}", q))
+        entry = None if want_aircraft else HamCallsign.get_country(q)
+        if is_hex and entry is None:
             from openwebrx_tpu.services.icao import enrich
             info = enrich(q)
             if info:
                 info.update(kind="aircraft", query=q)
                 return json_response(info)
-        entry = HamCallsign.get_country(q)
         out = {"kind": "callsign", "query": q}
         if entry:
             out["itu_code"], out["country"] = entry

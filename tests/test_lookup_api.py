@@ -57,15 +57,24 @@ class TestLookupApi:
     def test_aircraft_hex(self, server):
         loop, port = server
         status, info = loop.run_until_complete(
-            _get_json(port, "/api/lookup?q=3C4421"))
+            _get_json(port, "/api/lookup?q=3C4421&kind=aircraft"))
         assert info["kind"] == "aircraft"
         assert info["registration"] == "D-AAAA"
         assert info["ccode"] == "DE"
 
-    def test_unknown_hex_falls_back_to_callsign(self, server):
+    def test_hex_callsign_not_misrouted(self, server):
+        """DF1ABC is all-hex AND a valid German callsign — the heuristic
+        path must return the callsign, not a fabricated aircraft."""
         loop, port = server
-        # 6 hex chars that are ALSO a plausible callsign prefix shape but
-        # outside every ICAO country range → callsign path
         status, info = loop.run_until_complete(
-            _get_json(port, "/api/lookup?q=000001"))
+            _get_json(port, "/api/lookup?q=DF1ABC"))
         assert info["kind"] == "callsign"
+        assert info["ccode"] == "de"
+
+    def test_hex_non_callsign_is_aircraft(self, server):
+        # A00001 is no callsign prefix → heuristic aircraft decode (N1)
+        loop, port = server
+        status, info = loop.run_until_complete(
+            _get_json(port, "/api/lookup?q=A00001"))
+        assert info["kind"] == "aircraft"
+        assert info["registration"] == "N1"
