@@ -34,6 +34,13 @@ FORMATS = {
 
 CATEGORIES = {100: "routine", 108: "safety", 110: "urgency", 112: "distress"}
 
+# nature of distress (ITU-R M.493 table: symbol 100..112)
+NATURES = {100: "fire/explosion", 101: "flooding", 102: "collision",
+           103: "grounding", 104: "listing", 105: "sinking",
+           106: "disabled and adrift", 107: "undesignated",
+           108: "abandoning ship", 109: "piracy/armed robbery",
+           110: "man overboard", 112: "EPIRB emission"}
+
 
 def encode_symbol(value: int) -> list[int]:
     """7 data bits LSB first + 3-bit zero-count check (MSB first)."""
@@ -128,6 +135,32 @@ class DscDecoder:
         if fmt in (FMT_SELECTIVE, FMT_GROUP) and len(body) >= 5:
             msg["address"] = "".join(f"{s:02d}" for s in body[:5])
             body = body[5:]
+        if fmt == FMT_DISTRESS and len(body) >= 11:
+            # ITU-R M.493 distress call: self-id MMSI (5 symbols = 10
+            # digits, MMSI is the first 9), nature of distress, distress
+            # coordinates (5 symbols = 10 digits: quadrant, lat ddmm,
+            # lon dddmm), UTC time — a decoded position puts the vessel
+            # on the map (reference owrx/marine.py vessel flow)
+            msg["src"] = "".join(f"{s:02d}" for s in body[:5])[:9]
+            msg["mmsi"] = msg["src"]
+            msg["nature"] = NATURES.get(body[5], str(body[5]))
+            digits = "".join(f"{s:02d}" for s in body[6:11])
+            if not digits.startswith("99"):      # 9… ⇒ position unknown
+                quad = int(digits[0])
+                lat = int(digits[1:3]) + int(digits[3:5]) / 60.0
+                lon = int(digits[5:8]) + int(digits[8:10]) / 60.0
+                if quad in (2, 3):
+                    lat = -lat
+                if quad in (1, 3):
+                    lon = -lon
+                if abs(lat) <= 90 and abs(lon) <= 180:
+                    msg["lat"] = round(lat, 4)
+                    msg["lon"] = round(lon, 4)
+                    msg["position"] = f"{lat:.4f} {lon:.4f}"
+            if len(body) >= 13:
+                msg["time_utc"] = "".join(f"{s:02d}" for s in body[11:13])
+            msg["category"] = "distress"
+            body = []        # distress calls carry no category/body fields
         if body:
             msg["category"] = CATEGORIES.get(body[0], str(body[0]))
             msg["body"] = body[1:-1] if len(body) > 1 else []

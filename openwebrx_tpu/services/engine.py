@@ -182,16 +182,25 @@ class ServiceHandler(SdrSourceEventClient):
                 Metrics.shared().counter(f"services.events.{mode}").inc()
 
     def _on_event(self, event: dict, dial_freq: float):
-        """Non-spot service events (pages, ISM sensors, aircraft) — counted
-        and pushed to the map when they carry positions."""
+        """Non-spot service events (pages, ISM sensors, aircraft, vessels)
+        — counted and pushed to the map when they carry positions."""
         Metrics.shared().counter(
             f"services.events.{event.get('mode', 'unknown')}").inc()
-        if "lat" in event and "lon" in event and "icao" in event:
-            from openwebrx_tpu.core.map import LatLngLocation
+        if "lat" not in event or "lon" not in event:
+            return
+        from openwebrx_tpu.core.map import LatLngLocation
+        if "icao" in event:
             Map.shared().update_location(
                 event.get("flight") or event["icao"],
                 LatLngLocation(event["lat"], event["lon"]),
                 event.get("mode", "AIR"))
+        elif "mmsi" in event or "src" in event:
+            # DSC distress/position reports put the vessel on the map
+            # (reference owrx/marine.py vessel flow)
+            Map.shared().update_location(
+                str(event.get("mmsi") or event["src"]),
+                LatLngLocation(event["lat"], event["lon"]),
+                event.get("mode", "DSC"))
 
     def _on_spot(self, spot: dict, mode: str, dial_freq: float):
         report_spot(spot, mode, dial_freq)

@@ -84,3 +84,43 @@ class TestRetryBudget:
         assert src.is_failed()
         assert src.attempts == 3  # initial + 2 retries
         src.shutdown()
+
+
+class TestDscDistress:
+    def test_distress_call_with_position(self):
+        """ITU-R M.493 distress call: self-id MMSI, nature, quadrant-coded
+        coordinates and UTC time decode into map-ready fields."""
+        from openwebrx_tpu.digimodes.dsc import FMT_DISTRESS, EOS_NONE
+
+        # MMSI 211345678, nature flooding (101), 52°30'N 013°24'E, 16:45
+        body = [13, 45, 67, 80,            # rest of the MMSI digits
+                101,                        # nature of distress
+                5, 23, 0, 13, 24,           # quadrant 0, 5230, 01324
+                16, 45,                     # time UTC
+                100]                        # subsequent comms
+        bits = np.array(encode_call(FMT_DISTRESS, "", 21, body,
+                                    eos=EOS_NONE))
+        messages = []
+        DscDecoder(messages.append).feed_bits(bits)
+        assert messages, "no DSC distress decoded"
+        msg = messages[0]
+        assert msg["format"] == "distress"
+        assert msg["mmsi"] == "211345678"
+        assert msg["nature"] == "flooding"
+        assert abs(msg["lat"] - 52.5) < 1e-3
+        assert abs(msg["lon"] - 13.4) < 1e-3
+        assert msg["time_utc"] == "1645"
+        assert msg["category"] == "distress"
+
+    def test_distress_unknown_position(self):
+        from openwebrx_tpu.digimodes.dsc import FMT_DISTRESS, EOS_NONE
+
+        body = [13, 45, 67, 80, 107,
+                99, 99, 99, 99, 99,         # position unknown (all 9s)
+                88, 88, 100]
+        bits = np.array(encode_call(FMT_DISTRESS, "", 21, body,
+                                    eos=EOS_NONE))
+        messages = []
+        DscDecoder(messages.append).feed_bits(bits)
+        assert messages and "lat" not in messages[0]
+        assert messages[0]["nature"] == "undesignated"

@@ -132,3 +132,56 @@ class TestPfbServing:
             assert bank.n_active == 0
         finally:
             src.stop()
+
+
+class TestMixedLoad:
+    def test_listener_services_waterfall_share_device(self):
+        """An interactive listener (full-rate bank), a waterfall
+        subscriber and a PFB service bank all run on one DeviceRuntime
+        block loop — audio flows on all of them concurrently."""
+        rt, src = _make_runtime(
+            [{"kind": "usb", "offset_hz": 48_500.0, "f_audio": 900.0,
+              "amplitude": 0.4},
+             {"kind": "nfm", "offset_hz": -200_000.0, "f_audio": 700.0,
+              "amplitude": 0.4}])
+        rows = []
+        got = {"listener": 0, "svc": 0}
+        rt.subscribe_waterfall(lambda payload: rows.append(len(payload)))
+        listener = rt.open_channel("nfm", -200_000.0)
+        listener.audio_cb = (lambda w, hd=False:
+                             got.__setitem__("listener", got["listener"] + 1))
+        svc = rt.open_channel("usb", 48_500.0, service=True)
+        svc.audio_cb = (lambda w, hd=False:
+                        got.__setitem__("svc", got["svc"] + 1))
+        assert svc.bucket_key == "pfb:ssb"
+        assert listener.bucket_key == "nfm"
+        try:
+            rt.start()
+            deadline = time.time() + 25
+            while time.time() < deadline:
+                if got["listener"] >= 3 and got["svc"] >= 3 and len(rows) >= 3:
+                    break
+                time.sleep(0.1)
+        finally:
+            rt.stop()
+            src.stop()
+        assert got["listener"] >= 3, got
+        assert got["svc"] >= 3, got
+        assert len(rows) >= 3
+
+    def test_service_retune_migrates_on_edge(self):
+        """Retuning a PFB service onto a channel edge migrates it to a
+        full-rate slot with audio still flowing (review finding r4)."""
+        rt, src = _make_runtime([])
+        try:
+            h = rt.open_channel("usb", 48_500.0, service=True)
+            assert h.bucket_key == "pfb:ssb"
+            # 11.8 kHz sits on the channel-0/1 boundary: cannot fit
+            h.set_offset(11_800.0)
+            assert h.bucket_key == "svc:ssb"
+            assert h.slot is not None
+            # and a second service can now take the vacated PFB channel
+            h2 = rt.open_channel("usb", 48_600.0, service=True)
+            assert h2.bucket_key == "pfb:ssb"
+        finally:
+            src.stop()
