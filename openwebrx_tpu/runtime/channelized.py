@@ -45,7 +45,8 @@ class ChannelizedBank:
     def __init__(self, in_rate: float, m: int, mode: str = "usb",
                  audio_rate: float = 12000.0, compression: str = "none",
                  taps_per_phase: int = 16, target_seconds: float = 0.1,
-                 block: int | None = None, capacity: int | None = None):
+                 block: int | None = None, capacity: int | None = None,
+                 delivery_stride: int = 1):
         self.in_rate = float(in_rate)
         self.m = int(m)
         self.mode = mode
@@ -58,6 +59,8 @@ class ChannelizedBank:
         # transfer scale with live services, not with M (a 4096-channel
         # PFB serving 40 dials demodulates 40 rows, not 4096).
         self.capacity = int(capacity) if capacity else None
+        self.delivery_stride = max(1, int(delivery_stride))
+        self._out_accum: list = []
         self._n = self.capacity or self.m       # chain batch size
         self.channel_rate = self.in_rate / self.m
         self.prototype = pfb.design_prototype(self.m, taps_per_phase)
@@ -281,15 +284,35 @@ class ChannelizedBank:
         device).  Returns the pending fused output when a full bank block
         was dispatched, else None (chunks buffered on-device until
         chunk_ratio chunks arrived) — the DeviceRuntime feed surface,
-        same contract as ChannelBank.feed_dispatch."""
+        same contract as ChannelBank.feed_dispatch.
+
+        With ``delivery_stride`` K > 1, the fused outputs of K consecutive
+        bank blocks are concatenated ON DEVICE and come back as ONE
+        device→host transfer (fetch then yields K (y, aux) results in
+        order).  Background services tolerate a few hundred ms of delivery
+        batching, and each avoided per-block transfer saves a serialized
+        tunnel round trip — the same trade as output fusion, one level up."""
         if self.chunk_ratio == 1:
-            return self.dispatch(xdev)
-        self._accum.append(xdev)
-        if len(self._accum) < self.chunk_ratio:
+            x = xdev
+        else:
+            self._accum.append(xdev)
+            if len(self._accum) < self.chunk_ratio:
+                return None
+            x = jnp.concatenate(self._accum, axis=0)
+            self._accum = []
+        if self.delivery_stride <= 1:
+            return self.dispatch(x)
+        fused, _ = self.dispatch(x, to_host=False)
+        self._out_accum.append(fused)
+        if len(self._out_accum) < self.delivery_stride:
             return None
-        x = jnp.concatenate(self._accum, axis=0)
-        self._accum = []
-        return self.dispatch(x)
+        joined = jnp.concatenate(self._out_accum)
+        self._out_accum = []
+        try:
+            joined.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        return joined, self.delivery_stride
 
     def pack_input(self, iq_block: np.ndarray) -> np.ndarray:
         """Host complex block → the packed float32 form dispatch() accepts
@@ -330,6 +353,20 @@ class ChannelizedBank:
         y = jax.tree.map(_decode_out_leaf, yp, self._y_codec)
         aux = jax.tree.map(_decode_out_leaf, auxp, self._aux_codec)
         return y, aux
+
+    def fetch_many(self, joined, n: int):
+        """Decode a delivery-stride batch: one fetch of the K-block joined
+        buffer → list of K (y, aux) results in dispatch order."""
+        buf = np.asarray(joined)
+        out = []
+        for i in range(n):
+            seg = buf[i * self._fuse_words:(i + 1) * self._fuse_words]
+            yp, auxp = unfuse_buffer(seg, self._fuse_treedef,
+                                     self._fuse_plan)
+            out.append((jax.tree.map(_decode_out_leaf, yp, self._y_codec),
+                        jax.tree.map(_decode_out_leaf, auxp,
+                                     self._aux_codec)))
+        return out
 
     def process(self, iq_block):
         """One block, synchronous: → (audio (M, out), aux)."""

@@ -673,12 +673,18 @@ class DeviceRuntime:
             bank = self.banks.get(key)
             if bank is None:
                 m = self._pfb_channels()
+                # deliver service results in ~0.3 s batches: background
+                # decoders buffer seconds anyway, and every coalesced
+                # device→host transfer saves a serialized round trip on
+                # tunnel/PCIe transports (ChannelizedBank.feed_dispatch)
+                stride = max(1, int(round(0.3 / self.target_seconds)))
                 bank = ChannelizedBank(
                     self.in_rate, m,
                     mode=BUCKET_CHAIN_MODE[bucket],
                     audio_rate=self.audio_rate,
                     compression="none", block=self.block,
-                    capacity=min(m, max(64, self.capacity)))
+                    capacity=min(m, max(64, self.capacity)),
+                    delivery_stride=stride)
                 self.banks[key] = bank
             return bank
 
@@ -993,40 +999,49 @@ class DeviceRuntime:
             program, pend = bank_pending[bucket]
             if pend is None:      # accumulating bank: no results this block
                 continue
-            y, aux = program.fetch(*pend)
-            # ONE device→host transfer per bank (whole arrays), then numpy
-            # slicing per handle — per-slot eager jax indexing from this
-            # thread can wedge against the in-flight donated computation
-            y_np = tuple(np.asarray(a) for a in y) if isinstance(y, tuple) \
-                else np.asarray(y)
-            power_np = None
-            rds_np = None
-            for key in aux:
-                if key.endswith("power_db") and power_np is None:
-                    power_np = np.asarray(aux[key])
-                elif key.endswith(".rds"):
-                    rds_np = np.asarray(aux[key])
-            outputs[bucket] = (y_np, power_np, rds_np)
+            if isinstance(pend[1], int):
+                # delivery-stride batch (ChannelizedBank.feed_dispatch):
+                # one transfer carrying several bank blocks, in order
+                results = program.fetch_many(*pend)
+            else:
+                results = [program.fetch(*pend)]
+            decoded = []
+            for y, aux in results:
+                # ONE device→host transfer per bank (whole arrays), then
+                # numpy slicing per handle — per-slot eager jax indexing
+                # from this thread can wedge against the in-flight donated
+                # computation
+                y_np = tuple(np.asarray(a) for a in y) \
+                    if isinstance(y, tuple) else np.asarray(y)
+                power_np = None
+                rds_np = None
+                for key in aux:
+                    if key.endswith("power_db") and power_np is None:
+                        power_np = np.asarray(aux[key])
+                    elif key.endswith(".rds"):
+                        rds_np = np.asarray(aux[key])
+                decoded.append((y_np, power_np, rds_np))
+            outputs[bucket] = decoded
         for handle in handles:
-            out = outputs.get(handle.bucket_key)
-            if out is None or handle.slot is None:
+            outs = outputs.get(handle.bucket_key)
+            if not outs or handle.slot is None:
                 continue
-            y_np, power_np, rds_np = out
-            if handle.audio_cb is not None:
-                bank_comp = banks[handle.bucket_key].compression
-                if bank_comp == "adpcm":
-                    bytes_, stride_states = y_np
-                    wire = handle.framer.frame(bytes_[handle.slot],
-                                               stride_states[handle.slot])
-                else:
-                    wire = y_np[handle.slot].tobytes()
-                handle.audio_cb(wire, handle.bucket_key.endswith("wfm"))
-            if handle.smeter_cb is not None and power_np is not None:
-                # 4 reports/s from 16 measurements/s (reference
-                # csdr/chain/selector.py:104-105)
-                self._emit_smeter(handle, power_np[handle.slot])
-            if handle.rds_cb is not None and rds_np is not None:
-                handle.feed_rds(rds_np[handle.slot])
+            for y_np, power_np, rds_np in outs:
+                if handle.audio_cb is not None:
+                    bank_comp = banks[handle.bucket_key].compression
+                    if bank_comp == "adpcm":
+                        bytes_, stride_states = y_np
+                        wire = handle.framer.frame(bytes_[handle.slot],
+                                                   stride_states[handle.slot])
+                    else:
+                        wire = y_np[handle.slot].tobytes()
+                    handle.audio_cb(wire, handle.bucket_key.endswith("wfm"))
+                if handle.smeter_cb is not None and power_np is not None:
+                    # 4 reports/s from 16 measurements/s (reference
+                    # csdr/chain/selector.py:104-105)
+                    self._emit_smeter(handle, power_np[handle.slot])
+                if handle.rds_cb is not None and rds_np is not None:
+                    handle.feed_rds(rds_np[handle.slot])
 
     def _emit_smeter(self, handle, power: np.ndarray):
         for i, v in enumerate(power):
