@@ -137,3 +137,42 @@ class TestVisDetection:
         bad[-2 * bit:-bit] = np.where(bad[-2 * bit:-bit] > 1200, 1100, 1300)
         seen, _ = self._run(np.concatenate([bad, tone(1900, 400)]))
         assert not seen
+
+
+class TestVisRearm:
+    def test_aborted_frame_rearms_vis(self):
+        """A transmission cut off mid-frame must not poison the next one:
+        after consecutive missed line syncs the auto decoder re-arms its
+        VIS detector and locks the NEXT image's mode (review finding r4)."""
+        width = 320
+        rows1 = np.zeros((3, width, 3), np.uint8)
+        rows1[:, :, 1] = 200                       # martin_m2, green
+        spec2 = MODES["martin_m2"]
+        parts = [synthesize_vis("martin_m2", RATE)]
+        for row in rows1:
+            parts.append(tone(1200, spec2["sync_ms"]))
+            for ch in "GBR":
+                parts.append(tone(1500, spec2["separator_ms"]))
+                parts.append(scan(row[:, {"G": 1, "B": 2, "R": 0}[ch]],
+                                  spec2["scan_ms"]))
+        # …signal dies mid-frame: 3 s of quiet carrier (1900 Hz, no syncs)
+        parts.append(tone(1900, 3000))
+        # then a SCOTTIE S1 transmission begins
+        rows2 = np.zeros((6, width, 3), np.uint8)
+        rows2[:, :, 0] = 220                       # red frame
+        parts.append(synthesize_scottie("scottie_s1", rows2))
+        freq = np.concatenate(parts)
+
+        seen = []
+        decoded = []
+        dec = SstvDecoder(on_row=decoded.append,
+                          on_mode=lambda m, w, h: seen.append(m))
+        x = to_norm(freq)
+        for blk in np.array_split(x, max(1, len(x) // 900)):
+            dec.feed(blk)
+        assert seen[0] == "martin_m2"
+        assert "scottie_s1" in seen, f"VIS did not re-arm: {seen}"
+        # the second transmission's red rows decoded in the right mode
+        red = [r for r in decoded[-4:] if r[:, 0].mean() > 140
+               and r[:, 1].mean() < 90]
+        assert red, "second transmission garbled after aborted frame"
