@@ -254,7 +254,10 @@ def bench_config2():
     interactive fps).  Latency and fps come from the real-time paced
     phase — the regime a listener actually sees."""
     rate = 2.4e6
-    runtime, source = _make_runtime(rate, 0.05, fft_size=4096, fft_fps=20.0)
+    # 0.04 s blocks: delivery latency ≈ one block interval (pipeline
+    # depth 2) + the tunnel flush — the smaller interactive block keeps
+    # p95 well inside the 100 ms budget and lifts waterfall fps ~30
+    runtime, source = _make_runtime(rate, 0.04, fft_size=4096, fft_fps=20.0)
     rows = {"n": 0, "mark": 0}
     runtime.subscribe_waterfall(lambda payload: rows.__setitem__("n", rows["n"] + 1))
     handle = runtime.open_channel("usb", offset_hz=-250e3)
