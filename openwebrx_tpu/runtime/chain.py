@@ -512,6 +512,39 @@ class Program:
         """One block: host (or device) array in → (y, aux) out."""
         return self.fetch(*self.dispatch(x))
 
+    def dispatch_quiet(self, x):
+        """Dispatch without initiating the device→host copy — for callers
+        that batch several blocks' results into one transfer
+        (join_pending)."""
+        self.state, fused = self._step(self.state, self._params(),
+                                       self.pack_input(x))
+        return fused, None
+
+    def join_pending(self, pends):
+        """Concatenate several dispatch results ON DEVICE into one buffer
+        (one device→host transfer for K blocks — background/digimode
+        consumers tolerate the batched delivery; see ChannelizedBank
+        delivery_stride for the serving-path version)."""
+        joined = jnp.concatenate([p[0] for p in pends])
+        try:
+            joined.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        return joined, len(pends)
+
+    def fetch_many(self, joined, n: int):
+        """Decode a join_pending batch → list of n (y, aux), in order."""
+        buf = np.asarray(joined)
+        out = []
+        for i in range(n):
+            seg = buf[i * self._fuse_words:(i + 1) * self._fuse_words]
+            yp, auxp = unfuse_buffer(seg, self._fuse_treedef,
+                                     self._fuse_plan)
+            out.append((jax.tree.map(_decode_out_leaf, yp, self._y_codec),
+                        jax.tree.map(_decode_out_leaf, auxp,
+                                     self._aux_codec)))
+        return out
+
     def rebuild(self, keep_state: bool = True):
         """Re-plan after graph surgery, carrying over state of stages whose
         label+signature still match (reference behavior: live replace keeps
