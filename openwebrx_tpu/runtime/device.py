@@ -674,9 +674,10 @@ class DeviceRuntime:
             if bank is None:
                 m = self._pfb_channels()
                 # deliver service results in ~0.3 s batches: background
-                # decoders buffer seconds anyway, and every coalesced
-                # device→host transfer saves a serialized round trip on
-                # tunnel/PCIe transports (ChannelizedBank.feed_dispatch)
+                # decoders buffer seconds anyway (the FT8 chopper's unit is
+                # 15 s), and every coalesced device→host transfer saves a
+                # serialized round trip on tunnel/PCIe transports
+                # (ChannelizedBank.feed_dispatch)
                 stride = max(1, int(round(0.3 / self.target_seconds)))
                 bank = ChannelizedBank(
                     self.in_rate, m,
