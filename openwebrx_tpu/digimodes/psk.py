@@ -10,7 +10,11 @@ from __future__ import annotations
 
 import numpy as np
 
-# public PSK31 varicode table (G3PLX), index = ASCII code
+# public PSK31 varicode table (G3PLX), index = ASCII code.  Every code
+# starts and ends with 1 and contains no "00" (the inter-character gap is
+# the only place two zeros appear) — asserted below, because round 4
+# shipped a corrupted 'I'..'a' region that silently mapped those letters
+# to garbage (uppercase text and 'a' never decoded).
 _VARICODE = [
     "1010101011", "1011011011", "1011101101", "1101110111", "1011101011",
     "1101011111", "1011101111", "1011111101", "1011111111", "11101111",
@@ -18,27 +22,32 @@ _VARICODE = [
     "1011110111", "1011110101", "1110101101", "1110101111", "1101011011",
     "1101101011", "1101101101", "1101010111", "1101111011", "1101111101",
     "1110110111", "1101010101", "1101011101", "1110111011", "1011111011",
-    "1101111111", "1", "111111111", "101011111", "111110101", "111011011",
-    "1011010101", "1010111011", "101111111", "11111011", "11110111",
-    "101101111", "111011111", "1110101", "110101", "1010111", "110101111",
-    "10110111", "10111101", "11101101", "11111111", "101110111", "101011011",
-    "101101011", "110101101", "110101011", "110110111", "11110101",
-    "110111101", "111101101", "1010101", "111010111", "1010101111",
-    "1010111101", "1111101", "11111101", "101010101", "1010110111",
-    "10110101", "1011010111", "11011011", "11011101", "110101010",
-    "110110101", "101111011", "1011011111", "1011110110", "101011101",
-    "101010110", "101001101", "1010101101", "10110110", "1011011010",
-    "101011010", "101111010", "101101110", "110110110", "1101011010",
-    "110101110", "101010110", "101101010", "1010110101", "101011110",
-    "1010111110", "10101101", "1010110110", "1011011110", "1011", "1011111",
-    "101111", "101101", "11", "111101", "1011011", "101011", "1101",
-    "111101011", "10111111", "11011", "111011", "1111", "111", "111111",
-    "110111111", "10101", "10111", "101", "110111", "1111011", "1101011",
-    "11011111", "1011101", "111010101", "1010110111", "110111011",
-    "1010110101", "1011010111", "1110110101",
+    "1101111111",
+    "1",          # space
+    "111111111", "101011111", "111110101", "111011011", "1011010101",
+    "1010111011", "101111111", "11111011", "11110111", "101101111",
+    "111011111", "1110101", "110101", "1010111", "110101111",
+    "10110111", "10111101", "11101101", "11111111", "101110111",
+    "101011011", "101101011", "110101101", "110101011", "110110111",
+    "11110101", "110111101", "111101101", "1010101", "111010111",
+    "1010101111", "1010111101",
+    "1111101", "11101011", "10101101", "10110101", "1110111", "11011011",
+    "11111101", "101010101", "1111111", "111111101", "101111101",
+    "11010111", "10111011", "11011101", "10101011", "11010101",
+    "111011101", "10101111", "1101111", "1101101", "101010111",
+    "110110101", "101011101", "101110101", "101111011", "1010101101",
+    "111110111", "111101111", "111111011", "1010111111", "101101101",
+    "1011011111",
+    "1011", "1011111", "101111", "101101", "11", "111101", "1011011",
+    "101011", "1101", "111101011", "10111111", "11011", "111011", "1111",
+    "111", "111111", "110111111", "10101", "10111", "101", "110111",
+    "1111011", "1101011", "11011111", "1011101", "111010101",
+    "1010110111", "110111011", "1010110101", "1011010111", "1110110101",
 ]
-# NOTE: table indices 0-127 map ASCII; a few codes in the public spec are
-# reused for rare control chars — the decode dict keeps the first match.
+assert len(_VARICODE) == 128
+assert all(c[0] == "1" and c[-1] == "1" and "00" not in c
+           for c in _VARICODE)
+assert len(set(_VARICODE)) == 128, "varicode entries must be unique"
 
 _DECODE = {}
 for code_point, bits in enumerate(_VARICODE):

@@ -342,6 +342,16 @@ def fuse_plan(y_aval, aux_aval, y_codec, aux_codec):
     plan = []
     off = 0
     for a in leaves:
+        # only dtypes that round-trip through the int32 fused buffer are
+        # allowed: int32 (as-is), float32 (bitcast), bool (0/1 cast).
+        # Anything else (float64, int64, uint32…) would be silently
+        # value-truncated by fuse_leaves' astype — fail at plan time.
+        if np.dtype(a.dtype) not in (np.dtype(np.int32), np.dtype(np.float32),
+                                     np.dtype(bool)):
+            raise TypeError(
+                f"fuse_plan: output leaf dtype {a.dtype} cannot round-trip "
+                f"through the int32 fused buffer (shape {tuple(a.shape)}); "
+                f"encode it to int32/float32/bool in the leaf codec")
         words = int(np.prod(a.shape)) if a.ndim else 1
         plan.append((off, words, tuple(a.shape), np.dtype(a.dtype)))
         off += words

@@ -166,13 +166,19 @@ class ChannelizedBank:
 
     def assign(self, freq_offset_hz: float, squelch_db: float = -150.0) -> int:
         """Activate a slot on the channel containing the given frequency;
-        returns the SLOT index (== channel index in dense mode)."""
+        returns the SLOT index (== channel index in dense mode).
+
+        In slot-gathered mode several slots may share one PFB channel (the
+        gather takes duplicate indices): N listeners parked on the same
+        station cost N cheap channel-rate chains off ONE filterbank, not N
+        full-rate chains (the reference's per-client cost,
+        owrx/dsp.py:437-512)."""
         k, fine = self.channel_for(freq_offset_hz)
         if self.capacity is None:
+            if self._active[k]:
+                raise ValueError(f"PFB channel {k} already occupied")
             s = k
         else:
-            if self.channel_in_use(k):
-                raise ValueError(f"PFB channel {k} already occupied")
             free = np.flatnonzero(~self._active)
             if len(free) == 0:
                 raise ValueError("PFB bank full — all slots taken")
@@ -206,8 +212,7 @@ class ChannelizedBank:
             self._params_dirty = True
             return s
         if self.capacity is not None:
-            if self.channel_in_use(new_k):
-                raise ValueError(f"PFB channel {new_k} already occupied")
+            # gathered mode: channels are shareable — just remap the slot
             self._chan[s] = new_k
             self._fine[s] = fine
             self._params_dirty = True

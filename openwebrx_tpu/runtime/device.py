@@ -45,32 +45,152 @@ BUCKET_CHAIN_MODE = {"nfm": "nfm", "am": "am", "sam": "sam", "wfm": "wfm",
                      "ssb": "usb", "rawam": "rawam", "usbd": "usbd"}
 
 
+class SecondaryBank:
+    """All same-mode secondary digimode listeners of a device share ONE
+    batched Program (VERDICT r4 item 8): N PSK31 cursors are N rows of a
+    (N,)-batched chain — per-listener offset/carrier are traced parameter
+    arrays, so attaching a listener never recompiles (growing beyond
+    capacity does, capacity doubles, amortized).  The host-side bits→text
+    decoders stay per-handle (they carry per-listener text state).
+
+    Reference analog: one secondary demodulator chain per client
+    (owrx/dsp.py:682-797) — the same per-client scaling failure the
+    ChannelBank removes for audio.
+    """
+
+    def __init__(self, runtime: "DeviceRuntime", mode: str, capacity: int = 2):
+        from openwebrx_tpu.models.secondary import SECONDARY_FACTORY
+        self.runtime = runtime
+        self.mode = f"bank:{mode}"
+        self.secondary_mode = mode
+        self.capacity = int(capacity)
+        self.chain = SECONDARY_FACTORY[mode](runtime.in_rate)
+        self._offsets = np.zeros(self.capacity, np.float32)
+        # chains with a built-in subcarrier (SSTV/FAX park the fine shift
+        # at 1900 Hz) keep that as the per-slot default
+        fine = getattr(self.chain, "fine_shift", None)
+        self._default_carrier = 0.0
+        if fine is not None:
+            from openwebrx_tpu.models.secondary import IF_RATE
+            self._default_carrier = -float(np.asarray(fine._rate)) * IF_RATE
+        self._carriers = np.full(self.capacity, self._default_carrier,
+                                 np.float32)
+        self._active = np.zeros(self.capacity, bool)
+        self.members: list["SecondaryHandle | None"] = [None] * self.capacity
+        self._build_program()
+        self._pending: list[np.ndarray] = []
+        self._pending_len = 0
+
+    def _build_program(self):
+        from openwebrx_tpu.models.stages import plan_block_size as _pbs
+        from openwebrx_tpu.ops.formats import Format as _F, StreamSpec as _S
+        spec = _S(_F.COMPLEX_FLOAT, self.runtime.in_rate)
+        self.block = _pbs(self.chain, spec, 0.1)
+        self._push_params()
+        self.program = Program(self.chain, spec, self.block,
+                               batch_shape=(self.capacity,))
+
+    def _push_params(self):
+        self.chain.selector.shift.set_rate(-self._offsets / self.runtime.in_rate)
+        fine = getattr(self.chain, "fine_shift", None)
+        if fine is not None:
+            from openwebrx_tpu.models.secondary import IF_RATE
+            fine.set_rate(-self._carriers / IF_RATE)
+
+    def attach(self, handle: "SecondaryHandle", offset_hz: float) -> int:
+        free = np.flatnonzero(~self._active)
+        if len(free) == 0:
+            self._grow()
+            free = np.flatnonzero(~self._active)
+        slot = int(free[0])
+        self._active[slot] = True
+        self._offsets[slot] = offset_hz
+        self._carriers[slot] = self._default_carrier
+        self.members[slot] = handle
+        self._push_params()
+        return slot
+
+    def detach(self, handle: "SecondaryHandle"):
+        if handle.slot is not None and self.members[handle.slot] is handle:
+            self._active[handle.slot] = False
+            self.members[handle.slot] = None
+            self._offsets[handle.slot] = 0.0
+            self._push_params()
+        if not self._active.any():
+            drop = getattr(self.runtime, "_drop_secondary_bank", None)
+            if drop is not None:
+                drop(self)
+
+    def _grow(self):
+        """Double capacity: recompile (cached per capacity), device-side
+        chain state restarts (the host text decoders carry on)."""
+        new_cap = self.capacity * 2
+        self._offsets = np.resize(self._offsets, new_cap)
+        self._carriers = np.resize(self._carriers, new_cap)
+        self._offsets[self.capacity:] = 0.0
+        self._carriers[self.capacity:] = self._default_carrier
+        self._active = np.concatenate(
+            [self._active, np.zeros(self.capacity, bool)])
+        self.members = self.members + [None] * self.capacity
+        self.capacity = new_cap
+        self._build_program()
+        self._pending = []
+        self._pending_len = 0
+
+    def set_offset(self, slot: int, offset_hz: float):
+        self._offsets[slot] = offset_hz
+        self._push_params()
+
+    def set_carrier(self, slot: int, carrier_hz: float):
+        self._carriers[slot] = carrier_hz
+        self._push_params()
+
+    def feed(self, block: np.ndarray):
+        self._pending.append(block)
+        self._pending_len += len(block)
+        while self._pending_len >= self.block:
+            buf = np.concatenate(self._pending)
+            chunk, rest = buf[: self.block], buf[self.block:]
+            self._pending = [rest] if len(rest) else []
+            self._pending_len = len(rest)
+            y, aux = self.program.process(chunk)
+            y = np.asarray(y)
+            rows = None
+            for key, r in aux.items():
+                if key.endswith("secondary_fft.rows"):
+                    rows = np.asarray(r)
+                    break
+            for slot in np.flatnonzero(self._active):
+                handle = self.members[slot]
+                if handle is not None:
+                    handle._deliver(y[slot],
+                                    rows[slot] if rows is not None else None)
+
+
 class SecondaryHandle:
     """A digimode decoder attached to a listener's frequency (reference
     secondary demodulator, owrx/dsp.py:682-797).
 
-    Runs its own Program on its own block cadence (secondary chains have
-    different divisibility needs than the audio banks), fed from the device
-    IQ via an accumulator, with the host-side bits→text decoder attached.
+    A slot in the device's per-mode SecondaryBank (one batched program for
+    all same-mode listeners), with the host-side bits→text decoder
+    attached per handle.
     """
 
-    def __init__(self, runtime: "DeviceRuntime", mode: str, offset_hz: float):
-        from openwebrx_tpu.models.secondary import SECONDARY_FACTORY
-        from openwebrx_tpu.models.stages import plan_block_size as _pbs
-        from openwebrx_tpu.ops.formats import Format as _F, StreamSpec as _S
-
+    def __init__(self, runtime: "DeviceRuntime", mode: str, offset_hz: float,
+                 bank: "SecondaryBank | None" = None):
         self.runtime = runtime
         self.mode = mode
-        self.chain = SECONDARY_FACTORY[mode](runtime.in_rate)
-        self.chain.set_frequency_offset(offset_hz)
-        spec = _S(_F.COMPLEX_FLOAT, runtime.in_rate)
-        self.block = _pbs(self.chain, spec, 0.1)
-        self.program = Program(self.chain, spec, self.block)
-        self._pending: list[np.ndarray] = []
-        self._pending_len = 0
+        # standalone use (tests, direct embedding): own single-slot bank
+        self.bank = bank if bank is not None \
+            else SecondaryBank(runtime, mode, capacity=1)
+        self.slot = self.bank.attach(self, offset_hz)
         self.text_cb = None
         self.fft_cb = None            # secondary FFT rows (0x03 frames)
         self._decoder = self._make_decoder()
+
+    @property
+    def chain(self):
+        return self.bank.chain
 
     def _make_decoder(self):
         from openwebrx_tpu.digimodes.cw import CwDecoder
@@ -233,30 +353,26 @@ class SecondaryHandle:
               "filename": os.path.basename(png or raw)})
 
     def set_offset(self, offset_hz: float):
-        self.chain.set_frequency_offset(offset_hz)
+        self.bank.set_offset(self.slot, offset_hz)
 
     def set_carrier(self, carrier_hz: float):
-        self.chain.set_carrier(carrier_hz)
+        self.bank.set_carrier(self.slot, carrier_hz)
 
     def feed(self, block: np.ndarray):
-        self._pending.append(block)
-        self._pending_len += len(block)
-        while self._pending_len >= self.block:
-            buf = np.concatenate(self._pending)
-            chunk, rest = buf[: self.block], buf[self.block:]
-            self._pending = [rest] if len(rest) else []
-            self._pending_len = len(rest)
-            y, aux = self.program.process(chunk)
-            if self.fft_cb is not None:
-                for key, rows in aux.items():
-                    if key.endswith("secondary_fft.rows"):
-                        from openwebrx_tpu.ops.adpcm import compress_fft_rows
-                        for payload in compress_fft_rows(np.asarray(rows)):
-                            self.fft_cb(payload)
-                        break
-            text = self._decoder(y)
-            if text and self.text_cb is not None:
-                self.text_cb(text)
+        """Standalone-handle feed (single-slot bank); in the DeviceRuntime
+        the per-mode SecondaryBank is fed once for all members."""
+        self.bank.feed(block)
+
+    def _deliver(self, y: np.ndarray, fft_rows: np.ndarray | None):
+        """One bank block's results for this slot (called by SecondaryBank
+        on the device thread)."""
+        if self.fft_cb is not None and fft_rows is not None:
+            from openwebrx_tpu.ops.adpcm import compress_fft_rows
+            for payload in compress_fft_rows(np.asarray(fft_rows)):
+                self.fft_cb(payload)
+        text = self._decoder(y)
+        if text and self.text_cb is not None:
+            self.text_cb(text)
 
 
 class IqServiceHandle:
@@ -524,14 +640,17 @@ class ChannelHandle:
     def set_offset(self, offset_hz: float):
         if self.slot is None:
             return
-        if self.bucket_key.startswith("pfb:"):
+        if self.bucket_key.startswith(("pfb:", "pfbi:")):
             # the new dial may not fit its PFB channel (edge-straddling
-            # passband) or may collide with another service's channel —
+            # passband) or may collide with another dial's channel —
             # the runtime re-fits, migrating to a full-rate slot if needed
-            self.runtime.retune_service(self, offset_hz)
+            self.runtime.retune_channelized(self, offset_hz)
             return
-        # a PFB-backed slot may land in a different channel after retune
-        # (ChannelizedBank.retune returns the new index)
+        # a full-rate slot retuning to a dial that fits the filterbank is
+        # re-admitted (with hysteresis) so long-lived listeners converge
+        # back onto the cheap path after an edge-straddling drag
+        if self.runtime.try_pfb_readmit(self, offset_hz):
+            return
         new_slot = self.bank.retune(self.slot, offset_hz)
         if new_slot is not None:
             self.slot = new_slot
@@ -590,8 +709,11 @@ class DeviceRuntime:
         self.target_seconds = target_seconds
         self.in_rate = source.get_sample_rate()
         self.banks: dict[str, ChannelBank] = {}
+        self._pfbi_infeasible: set[str] = set()
+        self._pfb_m: dict[str, int] = {}
         self.handles: list[ChannelHandle] = []
-        self.secondary_handles: list[SecondaryHandle] = []
+        self.secondary_handles: list = []     # SecondaryBank/Iq/DV feeders
+        self.secondary_banks: dict[str, SecondaryBank] = {}
         self.waterfall_subscribers: list = []
         self._lock = threading.RLock()
         self._running = False
@@ -661,64 +783,141 @@ class DeviceRuntime:
             return 0
         return min(4096, 2 ** int(math.log2(self.in_rate / 24000)))
 
-    def _get_pfb_bank(self, bucket: str):
-        """Per-bucket ChannelizedBank for background services: ALL service
-        dials of a bucket demodulate from ONE polyphase filterbank program
-        at channel rate instead of each filtering the full device rate —
-        the scaling replacement for the reference's greedy resampler-tree
-        (owrx/service/__init__.py:199-252; SURVEY §2.6)."""
+    def _pfb_m_for(self, bucket: str) -> int:
+        """Channel count for a bucket's filterbank: start from
+        _pfb_channels() and halve (widening slices) until the bucket's
+        demod chain is feasible at the channel rate — NFM's 48 kHz IF
+        needs ≥48 kHz slices, WFM's 250 kHz IF ≥250 kHz.  0 ⇒ this bucket
+        cannot channelize at this device rate.  Cached per bucket (the
+        probe constructs a chain)."""
+        cached = self._pfb_m.get(bucket)
+        if cached is not None:
+            return cached
+        from openwebrx_tpu.models.receiver import ClientDemodulatorChain
+        audio_rate = 48000.0 if bucket == "wfm" else self.audio_rate
+        m = self._pfb_channels()
+        while m >= 8:
+            try:
+                ClientDemodulatorChain(self.in_rate / m, audio_rate,
+                                       BUCKET_CHAIN_MODE[bucket], "none")
+                break
+            except ValueError:
+                m //= 2
+        else:
+            m = 0
+        self._pfb_m[bucket] = m
+        return m
+
+    def _get_pfb_bank(self, bucket: str, interactive: bool = False):
+        """Per-bucket ChannelizedBank: ALL dials of a bucket demodulate
+        from ONE polyphase filterbank program at channel rate instead of
+        each filtering the full device rate — the scaling replacement for
+        the reference's greedy resampler-tree for services
+        (owrx/service/__init__.py:199-252) AND for its one-chain-per-client
+        listener model (owrx/dsp.py:437-512; SURVEY §2.6).
+
+        Two banks per bucket: 'pfb:' (services, raw audio, ~0.3 s delivery
+        batches) and 'pfbi:' (interactive listeners, client compression,
+        per-block delivery for interactive latency)."""
         from openwebrx_tpu.runtime.channelized import ChannelizedBank
-        key = f"pfb:{bucket}"
+        key = ("pfbi:" if interactive else "pfb:") + bucket
         with self._lock:
             bank = self.banks.get(key)
             if bank is None:
-                m = self._pfb_channels()
-                # deliver service results in ~0.3 s batches: background
-                # decoders buffer seconds anyway (the FT8 chopper's unit is
-                # 15 s), and every coalesced device→host transfer saves a
-                # serialized round trip on tunnel/PCIe transports
-                # (ChannelizedBank.feed_dispatch)
-                stride = max(1, int(round(0.3 / self.target_seconds)))
+                m = self._pfb_m_for(bucket)
+                if interactive:
+                    # per-block delivery; listeners get the client codec
+                    stride = 1
+                    compression = self.compression
+                else:
+                    # deliver service results in ~0.3 s batches: background
+                    # decoders buffer seconds anyway (the FT8 chopper's
+                    # unit is 15 s), and every coalesced device→host
+                    # transfer saves a serialized round trip on tunnel/PCIe
+                    # transports (ChannelizedBank.feed_dispatch)
+                    stride = max(1, int(round(0.3 / self.target_seconds)))
+                    compression = "none"
                 bank = ChannelizedBank(
                     self.in_rate, m,
                     mode=BUCKET_CHAIN_MODE[bucket],
-                    audio_rate=self.audio_rate,
-                    compression="none", block=self.block,
+                    audio_rate=(48000.0 if bucket == "wfm"
+                                else self.audio_rate),
+                    compression=compression, block=self.block,
                     capacity=min(m, max(64, self.capacity)),
                     delivery_stride=stride)
+                if interactive and bank.chunk_ratio > 2:
+                    # the channel-rate chain's divisibility needs force the
+                    # bank to accumulate >2 device blocks per dispatch —
+                    # too much added latency for a listener; remember and
+                    # serve this bucket's listeners full-rate
+                    self._pfbi_infeasible.add(bucket)
+                    return None
                 self.banks[key] = bank
             return bank
 
+    def _pfb_route(self, bucket: str, offset_hz: float, lo: float, hi: float,
+                   interactive: bool, margin: float = 0.4):
+        """Try to place a dial on the bucket's PFB bank.  Returns
+        (bucket_key, slot) or None when the filterbank can't serve it:
+        device too narrow, passband wider than a channel slice, dial
+        straddling a channel edge, channel already occupied, bank full."""
+        m = self._pfb_m_for(bucket)
+        if m < 8 or (hi - lo) > 2 * margin * self.in_rate / m:
+            return None
+        if interactive and bucket in self._pfbi_infeasible:
+            return None
+        # fit check BEFORE constructing/compiling a bank: an edge dial must
+        # not pay a filterbank compile just to be turned away
+        from openwebrx_tpu.ops.channelizer import channel_frequencies
+        k = int(round(offset_hz * m / self.in_rate)) % m
+        fine = offset_hz - channel_frequencies(m, self.in_rate)[k]
+        half = margin * self.in_rate / m
+        if not ((fine + lo) >= -half and (fine + hi) <= half):
+            return None
+        bank = self._get_pfb_bank(bucket, interactive)
+        if bank is None:
+            return None
+        # gathered banks share channels freely (duplicate gather indices);
+        # only dense banks (slot ≡ channel) need the occupancy check
+        free = bank.capacity is not None or not bank.channel_in_use(k)
+        if not (free and bank.has_free_slot()):
+            return None
+        slot = bank.assign(offset_hz)
+        bank.set_bandpass(slot, lo, hi)
+        return ("pfbi:" if interactive else "pfb:") + bucket, slot
+
     def open_channel(self, mode: str, offset_hz: float = 0.0,
                      service: bool = False) -> ChannelHandle:
-        """service=True → raw int16 audio (for choppers/recorders).
+        """service=True → raw int16 audio (for choppers/recorders);
+        otherwise the client codec (ADPCM).
 
-        Service channels come from the per-bucket PFB ChannelizedBank when
-        the dial's passband fits inside a free PFB channel slice —
-        O(P + log M) work per input sample for ALL dials together.  Dials
-        that straddle a channel edge (or collide with an occupied channel)
-        fall back to a full-rate 'svc:' ChannelBank slot."""
+        Both kinds of channel come from the per-bucket PFB ChannelizedBank
+        when the dial's passband fits inside a free PFB channel slice —
+        O(P + log M) work per input sample for ALL dials together, so N
+        listeners do NOT cost N full-rate filter chains (the reference's
+        scaling failure mode, owrx/dsp.py:437-512).  Dials that straddle a
+        channel edge (or collide with an occupied channel) fall back to a
+        full-rate ChannelBank slot; retuning migrates live in both
+        directions (retune_channelized / try_pfb_readmit)."""
         bucket = BANK_BUCKET[mode]
         if bucket not in self.available_buckets:
             raise KeyError(f"mode {mode} not available at "
                            f"{self.in_rate:.0f} S/s")
         lo, hi = MODE_BANDPASS[mode]
-        if service and self._pfb_channels() >= 8:
-            try:
-                pfb = self._get_pfb_bank(bucket)
-                k, _ = pfb.channel_for(offset_hz)
-                if (pfb.fits(offset_hz, lo, hi) and not pfb.channel_in_use(k)
-                        and pfb.has_free_slot()):
-                    slot = pfb.assign(offset_hz)
-                    pfb.set_bandpass(slot, lo, hi)
-                    handle = ChannelHandle(self, mode, slot)
-                    handle.bucket_key = f"pfb:{bucket}"
-                    with self._lock:
-                        self.handles.append(handle)
-                    return handle
-            except (ValueError, KeyError):
-                logger.exception("PFB service bank unavailable for %s; "
-                                 "falling back to full-rate bank", mode)
+        routed = None
+        try:
+            routed = self._pfb_route(bucket, offset_hz, lo, hi,
+                                     interactive=not service)
+        except (ValueError, KeyError):
+            logger.exception("PFB bank unavailable for %s; "
+                             "falling back to full-rate bank", mode)
+        if routed is not None:
+            key, slot = routed
+            handle = ChannelHandle(self, mode, slot)
+            handle.bucket_key = key
+            with self._lock:
+                self.handles.append(handle)
+            return handle
         key = f"svc:{bucket}" if service else bucket
         bank = self._get_bank(key)
         slot = bank.add_channel(offset_hz)
@@ -729,40 +928,95 @@ class DeviceRuntime:
             self.handles.append(handle)
         return handle
 
-    def retune_service(self, handle: ChannelHandle, offset_hz: float):
-        """Retune a PFB-backed service handle, re-running the fit check:
-        stays in the filterbank when the new dial fits a free (or its own)
-        channel, otherwise migrates to a full-rate 'svc:' slot — the same
-        routing open_channel applies (a straddling passband would get
-        transition-band-attenuated garbage from the critically-sampled
-        PFB)."""
+    def retune_channelized(self, handle: ChannelHandle, offset_hz: float):
+        """Retune a PFB-backed handle, re-running the fit check: stays in
+        the filterbank when the new dial fits a free (or its own) channel,
+        otherwise migrates live to a full-rate slot — a straddling
+        passband would get transition-band-attenuated garbage from the
+        critically-sampled PFB.  Interactive handles migrate to their
+        bucket's listener bank, services to 'svc:'."""
         with self._lock:
+            interactive = handle.bucket_key.startswith("pfbi:")
             bank = self.banks[handle.bucket_key]
             lo, hi = float(bank._low[handle.slot]), float(bank._high[handle.slot])
             k, _ = bank.channel_for(offset_hz)
-            own = int(bank._chan[handle.slot]) == k
+            own = (bank.capacity is not None
+                   or int(bank._chan[handle.slot]) == k)
             if bank.fits(offset_hz, lo, hi) and (own or
                                                  not bank.channel_in_use(k)):
                 handle.slot = bank.retune(handle.slot, offset_hz)
                 return
-            # migrate to the full-rate service bank, keeping controls
+            # migrate to the full-rate bank, keeping controls
             sq = float(bank._squelch[handle.slot])
             nr = float(bank._nr[handle.slot])
             bank.remove_channel(handle.slot)
             handle.slot = None            # handle is inert if reopen fails
             bucket = handle.bucket_key.split(":", 1)[-1]
-            new_bank = self._get_bank(f"svc:{bucket}")
+            new_key = bucket if interactive else f"svc:{bucket}"
+            new_bank = self._get_bank(new_key)
             slot = new_bank.add_channel(offset_hz, squelch_db=sq)
             new_bank.set_bandpass(slot, lo, hi)
             new_bank.set_nr(slot, nr)
             handle.slot = slot
-            handle.bucket_key = f"svc:{bucket}"
+            handle.bucket_key = new_key
+            # the new slot's codec state starts fresh — resync the framer
+            handle.framer = SyncFramer()
+
+    # kept under the old name for external callers
+    retune_service = retune_channelized
+
+    def try_pfb_readmit(self, handle: ChannelHandle,
+                        offset_hz: float) -> bool:
+        """A full-rate handle retuning to a dial that fits the filterbank
+        moves back in.  The stricter 0.35 margin (vs the 0.4 fit) is
+        hysteresis: a drag oscillating across a channel edge must not
+        thrash between banks."""
+        with self._lock:
+            old_key = handle.bucket_key
+            if handle.slot is None or old_key.startswith(("pfb:", "pfbi:")):
+                return False
+            interactive = not old_key.startswith("svc:")
+            bucket = old_key.split(":", 1)[-1]
+            bank = self.banks[old_key]
+            lo = float(bank._low[handle.slot])
+            hi = float(bank._high[handle.slot])
+            try:
+                routed = self._pfb_route(bucket, offset_hz, lo, hi,
+                                         interactive, margin=0.35)
+            except (ValueError, KeyError):
+                return False
+            if routed is None:
+                return False
+            sq = float(bank._squelch[handle.slot])
+            nr = float(bank._nr[handle.slot])
+            bank.remove_channel(handle.slot)
+            key, slot = routed
+            new_bank = self.banks[key]
+            new_bank.set_squelch(slot, sq)
+            new_bank.set_nr(slot, nr)
+            handle.slot = slot
+            handle.bucket_key = key
+            handle.framer = SyncFramer()
+            return True
 
     def open_secondary(self, mode: str, offset_hz: float) -> SecondaryHandle:
-        handle = SecondaryHandle(self, mode, offset_hz)
+        """Attach a digimode listener: same-mode listeners share one
+        batched SecondaryBank program (N cursors ≠ N programs)."""
         with self._lock:
-            self.secondary_handles.append(handle)
+            bank = self.secondary_banks.get(mode)
+            if bank is None:
+                bank = SecondaryBank(self, mode)
+                self.secondary_banks[mode] = bank
+                self.secondary_handles.append(bank)   # device feed path
+            handle = SecondaryHandle(self, mode, offset_hz, bank)
         return handle
+
+    def _drop_secondary_bank(self, bank: SecondaryBank):
+        with self._lock:
+            if self.secondary_banks.get(bank.secondary_mode) is bank:
+                del self.secondary_banks[bank.secondary_mode]
+            if bank in self.secondary_handles:
+                self.secondary_handles.remove(bank)
 
     def open_iq_channel(self, if_rate: float, offset_hz: float,
                         wire_format: str = "cs16") -> IqServiceHandle:
@@ -771,8 +1025,13 @@ class DeviceRuntime:
             self.secondary_handles.append(handle)  # same feed path
         return handle
 
-    def release_secondary(self, handle: SecondaryHandle):
+    def release_secondary(self, handle):
         with self._lock:
+            bank = getattr(handle, "bank", None)
+            if isinstance(bank, SecondaryBank):
+                bank.detach(handle)
+                handle.slot = None
+                return
             if handle in self.secondary_handles:
                 self.secondary_handles.remove(handle)
 
@@ -785,8 +1044,8 @@ class DeviceRuntime:
 
     def switch_mode(self, handle: ChannelHandle, mode: str,
                     offset_hz: float | None = None):
-        is_pfb = handle.bucket_key.startswith("pfb:")
-        service = handle.bucket_key.startswith("svc:") or is_pfb
+        is_pfb = handle.bucket_key.startswith(("pfb:", "pfbi:"))
+        service = handle.bucket_key.startswith(("svc:", "pfb:"))
         new_bucket = BANK_BUCKET[mode]
         new_key = f"svc:{new_bucket}" if service else new_bucket
         if new_bucket not in self.available_buckets:
@@ -810,26 +1069,18 @@ class DeviceRuntime:
                 bank.set_bandpass(handle.slot, lo, hi)
                 return
             bank.remove_channel(handle.slot)
-            if is_pfb:
-                # re-run the PFB-fit routing for the new mode; if the
-                # reopen fails the handle goes inert (slot None) instead of
-                # aliasing a freed slot some new listener may take over
-                self.handles.remove(handle)
-                handle.slot = None
-                new_handle = self.open_channel(mode, offset, service=True)
-                handle.slot = new_handle.slot
-                handle.mode = mode
-                handle.bucket_key = new_handle.bucket_key
-                self.handles.remove(new_handle)
-                self.handles.append(handle)
-                handle.framer = SyncFramer()
-                return
-            new_bank = self._get_bank(new_key)
-            handle.slot = new_bank.add_channel(offset)
+            # re-run the full open_channel routing (PFB fit + fallback) for
+            # the new mode; if the reopen fails the handle goes inert
+            # (slot None) instead of aliasing a freed slot some new
+            # listener may take over
+            self.handles.remove(handle)
+            handle.slot = None
+            new_handle = self.open_channel(mode, offset, service=service)
+            handle.slot = new_handle.slot
             handle.mode = mode
-            handle.bucket_key = new_key
-            lo, hi = MODE_BANDPASS[mode]
-            new_bank.set_bandpass(handle.slot, lo, hi)
+            handle.bucket_key = new_handle.bucket_key
+            self.handles.remove(new_handle)
+            self.handles.append(handle)
             handle.framer = SyncFramer()
 
     # -- waterfall --------------------------------------------------------

@@ -162,7 +162,7 @@ COUNTRY_RANGES = (
     (0x006000, 0x006FFF, "MZ", "Mozambique"),
     (0x008000, 0x00FFFF, "ZA", "South Africa"),
     (0x010000, 0x017FFF, "EG", "Egypt"),
-    (0x018000, 0x01FFFF, "LY", "Lybia"),
+    (0x018000, 0x01FFFF, "LY", "Libya"),
     (0x020000, 0x027FFF, "MA", "Morocco"),
     (0x028000, 0x02FFFF, "TN", "Tunisia"),
     (0x030000, 0x0303FF, "BW", "Botswana"),
@@ -202,7 +202,7 @@ COUNTRY_RANGES = (
     (0x084000, 0x084FFF, "TD", "Chad"),
     (0x088000, 0x088FFF, "TG", "Togo"),
     (0x08A000, 0x08AFFF, "ZM", "Zambia"),
-    (0x08C000, 0x08CFFF, "CD", "Congo"),
+    (0x08C000, 0x08CFFF, "CG", "Congo"),
     (0x090000, 0x090FFF, "AO", "Angola"),
     (0x094000, 0x0943FF, "BJ", "Benin"),
     (0x096000, 0x0963FF, "CV", "Cabo Verde"),
@@ -344,7 +344,7 @@ COUNTRY_RANGES = (
     (0x8A0000, 0x8A7FFF, "ID", "Indonesia"),
     (0x900000, 0x9003FF, "MH", "Marshall Islands"),
     (0x900000, 0x9FFFFF, None, "Unassigned (NAM / PAC regions)"),
-    (0x901000, 0x9013FF, "SK", "Cook Islands"),
+    (0x901000, 0x9013FF, "CK", "Cook Islands"),
     (0x902000, 0x9023FF, "WS", "Samoa"),
     (0xA00000, 0xAFFFFF, "US", "United States"),
     (0xB00000, 0xBFFFFF, None, "Unassigned (reserved for future use)"),

@@ -204,7 +204,25 @@ def _http_date(ts: float) -> str:
     return formatdate(ts, usegmt=True)
 
 
-def _client_has_current(request: Request, mtime: float) -> bool:
+def _etag(mtime: float, size: int) -> str:
+    """Strong validator from (mtime, size): unlike If-Modified-Since
+    (whole-second granularity), this catches a file modified twice within
+    one second during development."""
+    return f'"{int(mtime * 1e6):x}-{size:x}"'
+
+
+def _cache_headers(mtime: float, size: int) -> dict:
+    return {"Cache-Control": "no-cache",
+            "Last-Modified": _http_date(mtime),
+            "ETag": _etag(mtime, size)}
+
+
+def _client_has_current(request: Request, mtime: float,
+                        size: int | None = None) -> bool:
+    # ETag wins when the client sent one (RFC 9110 §13.1.3)
+    inm = request.headers.get("if-none-match")
+    if inm is not None:
+        return size is not None and _etag(mtime, size) in inm
     ims = request.headers.get("if-modified-since")
     if not ims:
         return False
@@ -237,8 +255,6 @@ def _serve_bundle(request: Request, rel: str, root: str) -> bytes:
     except OSError:
         return response(404, b"bundle source missing")
     newest = max(mtimes)
-    if _client_has_current(request, newest):
-        return response(304, b"")
     cached = _BUNDLE_CACHE.get(rel)
     if cached is None or cached[0] != mtimes:
         chunks = []
@@ -249,8 +265,10 @@ def _serve_bundle(request: Request, rel: str, root: str) -> bytes:
                 chunks.append(b"\n")
         cached = (mtimes, b"".join(chunks))
         _BUNDLE_CACHE[rel] = cached
-    headers = {"Cache-Control": "no-cache",
-               "Last-Modified": _http_date(newest)}
+    # 304 responses repeat the validators (RFC 9110 §15.4.5)
+    headers = _cache_headers(newest, len(cached[1]))
+    if _client_has_current(request, newest, len(cached[1])):
+        return response(304, b"", headers=headers)
     body = _maybe_gzip(request, cached[1], "application/javascript",
                        "bundle:" + rel, newest, headers)
     return response(200, body, "application/javascript", headers)
@@ -268,12 +286,12 @@ def serve_static(request: Request, root: str = HTDOCS) -> bytes:
         full = os.path.join(full, "index.html")
     if not os.path.isfile(full):
         return response(404, b"not found")
-    mtime = os.path.getmtime(full)
-    if _client_has_current(request, mtime):
-        return response(304, b"")
+    st = os.stat(full)
+    mtime, size = st.st_mtime, st.st_size
+    headers = _cache_headers(mtime, size)
+    if _client_has_current(request, mtime, size):
+        return response(304, b"", headers=headers)
     ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
-    headers = {"Cache-Control": "no-cache",
-               "Last-Modified": _http_date(mtime)}
     with open(full, "rb") as f:
         body = f.read()
     body = _maybe_gzip(request, body, ctype, full, mtime, headers)

@@ -108,9 +108,14 @@ class TestPfbServing:
             # a centered dial still prefers the PFB
             mid = rt.open_channel("usb", 48_000.0 + 500.0, service=True)
             assert mid.bucket_key == "pfb:ssb"
-            # second dial in the SAME channel collides → full-rate slot
+            # second dial in the SAME channel SHARES it (slot-gathered
+            # banks take duplicate gather indices — round 5): both serve
+            # from the filterbank with independent fine shifts
             dup = rt.open_channel("usb", 48_000.0 + 900.0, service=True)
-            assert dup.bucket_key == "svc:ssb"
+            assert dup.bucket_key == "pfb:ssb"
+            bank = rt.banks["pfb:ssb"]
+            assert int(bank._chan[mid.slot]) == int(bank._chan[dup.slot])
+            assert mid.slot != dup.slot
         finally:
             src.stop()
 
@@ -154,7 +159,9 @@ class TestMixedLoad:
         svc.audio_cb = (lambda w, hd=False:
                         got.__setitem__("svc", got["svc"] + 1))
         assert svc.bucket_key == "pfb:ssb"
-        assert listener.bucket_key == "nfm"
+        # interactive listeners ride the filterbank too now (round 5);
+        # NFM gets its own 48 kHz-slice bank (its IF needs ≥48 kHz)
+        assert listener.bucket_key == "pfbi:nfm"
         try:
             rt.start()
             deadline = time.time() + 25
