@@ -63,6 +63,23 @@ WARMUP = 2
 BLOCKS5 = 64
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _keepalive():
+    """Keep the tunnel's D2H stream hot during a measured section (the
+    production DeviceRuntime loop does this via start();
+    runtime/keepalive.py — sporadic fetches pay a 0.2-3 s cold-start)."""
+    from openwebrx_tpu.runtime.keepalive import TransportKeepalive
+    ka = TransportKeepalive.shared()
+    ka.acquire()
+    try:
+        yield
+    finally:
+        ka.release()
+
+
 # ---------------------------------------------------------------- helpers --
 class _BenchSource:
     """Minimal source surface for DeviceRuntime: reads from the native
@@ -76,35 +93,32 @@ class _BenchSource:
         self.block_size = None           # set by DeviceRuntime
         self._capture = capture
         self.ring = IqIngest(capacity_samples=1 << 23)
+        self.ring.set_blocking(True)     # bench feed: backpressure, no drops
         self._rfd, self._wfd = os.pipe()
         self.ring.start_fd(self._rfd, FORMAT_F32)
         self._writer = None
         self._stop = threading.Event()
 
     def start(self, repeats: int = 10 ** 6):
+        """Loop the capture into the ring's pipe from a SUBPROCESS (cat in
+        a shell loop): the production connector transport is exactly a
+        child process writing wire samples into a pipe, and an in-process
+        Python pump thread would fight the measured loop for the GIL
+        (observed: the 256-listener leg starved its own source)."""
+        import subprocess
+        import tempfile
         buf = np.empty((len(self._capture), 2), np.float32)
         buf[:, 0] = self._capture.real
         buf[:, 1] = self._capture.imag
-        raw = buf.tobytes()
-
-        def pump():
-            for _ in range(repeats):
-                if self._stop.is_set():
-                    break
-                try:
-                    view = memoryview(raw)
-                    while view:
-                        n = os.write(self._wfd, view[:1 << 18])
-                        view = view[n:]
-                except OSError:
-                    break
-            try:
-                os.close(self._wfd)
-            except OSError:
-                pass
-
-        self._writer = threading.Thread(target=pump, daemon=True)
-        self._writer.start()
+        f = tempfile.NamedTemporaryFile(suffix=".iq", delete=False)
+        f.write(buf.tobytes())
+        f.close()
+        self._capture_path = f.name
+        self._proc = subprocess.Popen(
+            ["sh", "-c", f'while :; do cat "{f.name}" || exit; done'],
+            stdout=self._wfd, stderr=subprocess.DEVNULL)
+        os.close(self._wfd)              # child owns the write end now
+        self._wfd = None
 
     def get_sample_rate(self) -> float:
         return self._rate
@@ -116,6 +130,13 @@ class _BenchSource:
 
     def close(self):
         self._stop.set()
+        proc = getattr(self, "_proc", None)
+        if proc is not None:
+            proc.kill()
+            proc.wait()
+        path = getattr(self, "_capture_path", None)
+        if path and os.path.exists(path):
+            os.unlink(path)
         self.ring.stop()
         self.ring.close()
 
@@ -158,21 +179,31 @@ def _run_streaming(runtime, source, n_blocks: int, depth: int = 4,
     for _ in range(warm):
         block = source.read_block(timeout=10.0)
         runtime._process_block(block)
-    pend = deque()
-    t0 = time.perf_counter()
-    done = 0
-    while done < n_blocks:
-        block = source.read_block(timeout=10.0)
-        if block is None:
-            break
-        pend.append(runtime._dispatch_block(block))
-        if len(pend) >= depth:
+    # 3 consecutive measurement windows, report the MEDIAN: the tunnel
+    # transport's round-trip cost swings 3-5× on a minutes timescale
+    # (measured round 4/5); a single window is one draw of that weather.
+    # Median-of-3 consecutive windows estimates sustained capability
+    # without the selection bias of best-of-N (round-4 advisor finding) —
+    # every window is recorded in the leg's "windows" field.
+    windows = []
+    per_window = max(4, n_blocks // 3)
+    for _ in range(3 if n_blocks else 0):
+        pend = deque()
+        t0 = time.perf_counter()
+        done = 0
+        while done < per_window:
+            block = source.read_block(timeout=10.0)
+            if block is None:
+                break
+            pend.append(runtime._dispatch_block(block))
+            if len(pend) >= depth:
+                runtime._complete_block(pend.popleft())
+            done += 1
+        while pend:
             runtime._complete_block(pend.popleft())
-        done += 1
-    while pend:
-        runtime._complete_block(pend.popleft())
-    wall = time.perf_counter() - t0
-    msps = done * runtime.block / wall / 1e6
+        wall = time.perf_counter() - t0
+        windows.append(done * runtime.block / wall / 1e6)
+    msps = float(np.median(windows)) if windows else 0.0
 
     lat = []
     block_s = runtime.block / float(source.get_sample_rate())
@@ -211,7 +242,7 @@ def _run_streaming(runtime, source, n_blocks: int, depth: int = 4,
     lat = lat[3:] if len(lat) > 6 else lat
     lat_ms = np.asarray(lat) * 1e3 if lat else np.asarray([0.0])
     return (msps, float(lat_ms.mean()), float(np.percentile(lat_ms, 95)),
-            wall, paced_wall)
+            windows, paced_wall)
 
 
 def _make_runtime(rate: float, seconds_block: float, **kw):
@@ -234,14 +265,16 @@ def bench_config1():
     handle.audio_cb = lambda b, hd: sink.__setitem__("bytes",
                                                      sink["bytes"] + len(b))
     try:
-        msps, mean_ms, p95_ms, _, _ = _run_streaming(runtime, source, 60,
-                                                     depth=4, paced_blocks=30)
+        with _keepalive():
+            msps, mean_ms, p95_ms, windows, _ = _run_streaming(
+                runtime, source, 60, depth=3, paced_blocks=30)
     finally:
         source.close()
     assert sink["bytes"] > 0
     return {"config": 1, "desc": "2.4 MS/s -> iq_ingest ring -> NFM -> "
                                  "12 kHz ADPCM (end-to-end host stream)",
             "msps": round(msps, 2), "vs_baseline": round(msps / 2.4, 2),
+            "windows_msps": [round(w, 2) for w in windows],
             "block_latency_ms": round(mean_ms, 2),
             "block_latency_p95_ms": round(p95_ms, 2),
             "audio_bytes": sink["bytes"]}
@@ -263,18 +296,21 @@ def bench_config2():
     handle = runtime.open_channel("usb", offset_hz=-250e3)
     handle.audio_cb = lambda b, hd: None
     try:
-        msps, _, _, _, _ = _run_streaming(runtime, source, 60, depth=4)
-        rows["mark"] = rows["n"]
-        # 80 paced blocks: p95 then tolerates a couple of transient tunnel
-        # stalls instead of flipping on the 2nd-worst of 40
-        _, mean_ms, p95_ms, _, paced_wall = _run_streaming(
-            runtime, source, 0, paced_blocks=80)
+        with _keepalive():
+            msps, _, _, windows, _ = _run_streaming(runtime, source, 60,
+                                                    depth=3)
+            rows["mark"] = rows["n"]
+            # 80 paced blocks: p95 then tolerates a couple of transient
+            # tunnel stalls instead of flipping on the 2nd-worst of 40
+            _, mean_ms, p95_ms, _, paced_wall = _run_streaming(
+                runtime, source, 0, paced_blocks=80)
     finally:
         source.close()
     fps = (rows["n"] - rows["mark"]) / paced_wall if paced_wall else 0.0
     return {"config": 2, "desc": "4096-bin waterfall + SSB channel "
                                  "(end-to-end host stream)",
             "msps": round(msps, 2), "vs_baseline": round(msps / 2.4, 2),
+            "windows_msps": [round(w, 2) for w in windows],
             "waterfall_fps_sustained": round(fps, 1),
             "block_latency_ms": round(mean_ms, 2),
             "block_latency_p95_ms": round(p95_ms, 2),
@@ -295,7 +331,13 @@ def bench_config3():
     # dials are background decoders, their latency budget is the chopper
     # interval (seconds), and the bigger block doubles the margin over the
     # tunnel's fixed ~30 ms per-result flush floor
-    runtime, source = _make_runtime(fs, 0.1)
+    # 1.2 s delivery batches (service_delivery_seconds=0.6 × the 0.2 s
+    # device block): background decoders buffer seconds anyway, and each
+    # halved fetch count removes serialized transport round trips.
+    # Depth 2: on a serialized tunnel transport a deeper dispatch queue
+    # just puts more head-of-line work in front of every fetch (measured
+    # round 5: depth 2 beats depth 6 here).
+    runtime, source = _make_runtime(fs, 0.1, service_delivery_seconds=0.6)
     m = runtime._pfb_channels()
     sink = {"bytes": 0, "channels": set()}
     handles = []
@@ -312,8 +354,9 @@ def bench_config3():
         handles.append(h)
     pfb_count = sum(1 for h in handles if h.bucket_key.startswith("pfb:"))
     try:
-        msps, mean_ms, p95_ms, _, _ = _run_streaming(runtime, source, 48,
-                                                     depth=6, paced_blocks=20)
+        with _keepalive():
+            msps, mean_ms, p95_ms, windows, _ = _run_streaming(
+                runtime, source, 48, depth=2, paced_blocks=20)
     finally:
         source.close()
     assert sink["bytes"] > 0 and len(sink["channels"]) == 64
@@ -321,6 +364,7 @@ def bench_config3():
                                  "DeviceRuntime PFB bank (end-to-end host "
                                  "stream)",
             "msps": round(msps, 2), "vs_baseline": round(msps / 8.192, 2),
+            "windows_msps": [round(w, 2) for w in windows],
             "pfb_dials": pfb_count,
             # service dials are background decoders: their real deadline is
             # the chopper interval (seconds); this is the block batch delay
@@ -378,34 +422,128 @@ def bench_config4():
     # results in 3-block batches, one device→host transfer each (the
     # tunnel's serialized per-result round trip otherwise bounds this leg
     # — same trade the DeviceRuntime applies to service banks)
-    stride = 3
+    stride = 6
     for i in range(2):        # compile the join program outside the timing
         pends = [prog.dispatch_quiet(blocks[j % 3]) for j in range(stride)]
         prog.fetch_many(*prog.join_pending(pends))
-    depth = 3                 # in flight BATCHES (9 blocks)
-    n = 48
-    t0 = time.perf_counter()
-    pend = deque()
-    batch = []
-    for i in range(n):
-        batch.append(prog.dispatch_quiet(blocks[i % 3]))
-        if len(batch) == stride:
-            pend.append(prog.join_pending(batch))
-            batch = []
-        if len(pend) >= depth:
+    depth = 2                 # in flight BATCHES (12 blocks)
+    windows = []
+    ka = _keepalive(); ka.__enter__()
+    batch_ms = 0.0
+    for w in range(3):        # median-of-3 windows (see _run_streaming)
+        n = 18
+        t0 = time.perf_counter()
+        pend = deque()
+        batch = []
+        for i in range(n):
+            batch.append(prog.dispatch_quiet(blocks[i % 3]))
+            if len(batch) == stride:
+                pend.append(prog.join_pending(batch))
+                batch = []
+            if len(pend) >= depth:
+                for y, _ in prog.fetch_many(*pend.popleft()):
+                    symbol_count += int(np.asarray(y["psk"][0]).shape[-1])
+        while pend:
             for y, _ in prog.fetch_many(*pend.popleft()):
                 symbol_count += int(np.asarray(y["psk"][0]).shape[-1])
-    while pend:
-        for y, _ in prog.fetch_many(*pend.popleft()):
-            symbol_count += int(np.asarray(y["psk"][0]).shape[-1])
-    wall = time.perf_counter() - t0
-    msps = n * block / wall / 1e6
+        wall = time.perf_counter() - t0
+        windows.append(n * block / wall / 1e6)
+        batch_ms = wall / (n // stride) * 1e3
+    ka.__exit__(None, None, None)
+    msps = float(np.median(windows))
     assert symbol_count > 0
     return {"config": 4, "desc": "BPSK31 x16 + FT8 audio feed x16 @ 2.4 MS/s "
                                  "(host-streamed blocks, fused program, "
-                                 "3-block delivery batches)",
+                                 "6-block delivery batches)",
             "msps": round(msps, 2), "vs_baseline": round(msps / 2.4, 2),
-            "delivery_batch_ms": round(wall / (n // stride) * 1e3, 2)}
+            "windows_msps": [round(x, 2) for x in windows],
+            "delivery_batch_ms": round(batch_ms, 2)}
+
+
+# ---------------------------------------------------------------- config 6 --
+def bench_config6():
+    """256 INTERACTIVE listeners (ADPCM wire audio, per-block delivery)
+    through the production DeviceRuntime 'pfbi:' filterbank path, WITH
+    retune churn: every block a handful of listeners retune to new dials
+    (staying channelized), and one periodically drags across a channel
+    edge — exercising the live PFB→full-rate→PFB migration.  The
+    reference serves N listeners with N full-rate chains
+    (owrx/dsp.py:437-512); this leg is the scaling claim for the
+    interactive path (VERDICT r4 item 1)."""
+    from collections import deque
+    fs = 8.192e6
+    runtime, source = _make_runtime(fs, 0.1, capacity=16, pfb_capacity=256)
+    m = runtime._pfb_m_for("ssb")
+    sink = {"bytes": 0, "channels": set()}
+    handles = []
+    for i in range(256):
+        k = (i * (m // 256) + i // 128) % m if m > 256 else i % m
+        freq = k * fs / m
+        if freq >= fs / 2:
+            freq -= fs
+        h = runtime.open_channel("usb", freq + 500.0)
+        h.audio_cb = (lambda wire, hd=False, i=i:
+                      (sink.__setitem__("bytes", sink["bytes"] + len(wire)),
+                       sink["channels"].add(i)))
+        handles.append(h)
+    pfb_count = sum(1 for h in handles if h.bucket_key.startswith("pfbi:"))
+    centers = np.fft.fftfreq(m, 1 / fs)
+
+    def fitting_dial(j):
+        return float(centers[(j * 7 + 3) % m] + 600.0)
+
+    # pre-compile the full-rate migration target outside the timed loop
+    edge = fs / m * 1.5 - 200.0          # straddles a channel edge
+    handles[0].set_offset(edge)
+    assert handles[0].bucket_key == "ssb"
+    handles[0].set_offset(fitting_dial(0))
+    assert handles[0].bucket_key == "pfbi:ssb"
+
+    churn = {"retunes": 0, "migrations": 0}
+    try:
+        ka = _keepalive(); ka.__enter__()
+        for _ in range(WARMUP + 2):
+            runtime._process_block(source.read_block(timeout=10.0))
+        windows = []
+        depth = 3
+        for w in range(3):       # median-of-3 windows (see _run_streaming)
+            pend = deque()
+            t0 = time.perf_counter()
+            n_blocks = 16
+            for i in range(n_blocks):
+                block = source.read_block(timeout=10.0)
+                # churn: 4 listeners hop to fresh (fitting) dials each
+                # block; every 8th block one listener drags across a
+                # channel edge and back (full-rate round trip)
+                for j in range(4):
+                    h = handles[(i * 4 + j) % len(handles)]
+                    h.set_offset(fitting_dial(w * 64 + i * 4 + j))
+                    churn["retunes"] += 1
+                if i % 8 == 4:
+                    h = handles[(i * 13) % len(handles)]
+                    h.set_offset(edge)
+                    h.set_offset(fitting_dial(i))
+                    churn["migrations"] += 1
+                pend.append(runtime._dispatch_block(block))
+                if len(pend) >= depth:
+                    runtime._complete_block(pend.popleft())
+            while pend:
+                runtime._complete_block(pend.popleft())
+            wall = time.perf_counter() - t0
+            windows.append(n_blocks * runtime.block / wall / 1e6)
+    finally:
+        ka.__exit__(None, None, None)
+        source.close()
+    msps = float(np.median(windows))
+    assert sink["bytes"] > 0 and len(sink["channels"]) >= 250
+    return {"config": 6, "desc": "256 interactive listeners (ADPCM) via "
+                                 "DeviceRuntime PFB bank + retune churn "
+                                 "incl. edge migrations (end-to-end host "
+                                 "stream)",
+            "msps": round(msps, 2), "vs_baseline": round(msps / 8.192, 2),
+            "windows_msps": [round(w, 2) for w in windows],
+            "pfb_dials": pfb_count, "retunes": churn["retunes"],
+            "edge_migrations": churn["migrations"]}
 
 
 # ---------------------------------------------------------------- config 5 --
@@ -420,7 +558,10 @@ def bench_config5():
     bank = ChannelizedBank(FS5, M5, mode="usb", compression="adpcm",
                            target_seconds=0.05)
     for i in range(M5):
-        bank.assign(float((i - M5 // 2) * FS5 / M5 * 0.9))
+        # one dial per PFB channel, at the exact channel center (dense
+        # banks are 1:1 slot↔channel; a scaled grid would alias two dials
+        # into one channel after rounding)
+        bank.assign(float((i - M5 // 2) * FS5 / M5))
 
     rng = np.random.default_rng(0)
     # complex64 can't cross the tunnel transport — stage blocks in HBM in
@@ -464,6 +605,7 @@ def bench_config5():
     # the tunnel, depth-8 pipelined.  Wire-bound here; reported for honesty.
     from collections import deque
     depth = 8
+    ka = _keepalive(); ka.__enter__()
     t0 = time.perf_counter()
     pend = deque()
     for i in range(BLOCKS5):
@@ -475,6 +617,7 @@ def bench_config5():
         y, aux = bank.fetch(*pend.popleft())
         audio_bytes += y[0].nbytes
     elapsed = time.perf_counter() - t0
+    ka.__exit__(None, None, None)
     assert audio_bytes > 0 and isinstance(y[0], np.ndarray)
     msps_fetched = BLOCKS5 * bank.block / elapsed / 1e6
     return msps_device, msps_fetched
@@ -483,22 +626,12 @@ def bench_config5():
 def main():
     msps5, msps5_fetched = bench_config5()
     configs = []
-    for fn in (bench_config1, bench_config2, bench_config3, bench_config4):
+    for fn in (bench_config1, bench_config2, bench_config3, bench_config4,
+               bench_config6):
         try:
-            result = fn()
-            # the tunnel transport's round-trip latency swings 3-5× on a
-            # minutes timescale (measured round 4); a leg landing under
-            # real-time gets ONE retry and the better run is reported —
-            # the metric claims sustained capability, not one draw of
-            # transport weather (attempts recorded for honesty)
-            if result.get("vs_baseline", 9) < 1.05:
-                second = fn()
-                if second.get("vs_baseline", 0) > result.get("vs_baseline", 0):
-                    second["attempts"] = 2
-                    result = second
-                else:
-                    result["attempts"] = 2
-            configs.append(result)
+            # single attempt per leg — no best-of-N (round-4 advisor
+            # finding): the margins must absorb tunnel weather on their own
+            configs.append(fn())
         except Exception as e:                       # a leg must not kill the run
             configs.append({"config": fn.__name__, "error": repr(e)[:300]})
     configs.append({"config": 5,

@@ -35,6 +35,7 @@ struct Ring {
     std::atomic<uint64_t> overruns;
     std::atomic<bool> running;
     std::atomic<bool> eof;
+    std::atomic<bool> blocking;  // backpressure instead of drop-oldest
     int fd;
     int format;           // 0=f32, 1=s16, 2=u8 (rtl_sdr style)
     std::thread reader;
@@ -46,23 +47,47 @@ uint64_t next_pow2(uint64_t v) {
     return p;
 }
 
-// write n complex samples (already float) into the ring, dropping the
-// oldest data on overrun (streaming semantics: fresh samples win)
-void ring_write(Ring* r, const float* iq, uint64_t n) {
+// write n complex samples (already float) into the ring.  Default
+// streaming semantics: drop the OLDEST data on overrun (live SDRs — fresh
+// samples win).  In blocking mode (file replay / bench feeds) the writer
+// waits for space instead, so pipe backpressure reaches the producer and
+// no CPU is burned converting samples that would be dropped.
+void ring_write_chunk(Ring* r, const float* iq, uint64_t n) {
     uint64_t head = r->head.load(std::memory_order_relaxed);
     uint64_t tail = r->tail.load(std::memory_order_acquire);
     if (head + n - tail > r->capacity) {
-        // consumer too slow: advance tail (drop oldest), count overrun
-        uint64_t excess = head + n - tail - r->capacity;
-        r->tail.store(tail + excess, std::memory_order_release);
-        r->overruns.fetch_add(1, std::memory_order_relaxed);
+        if (r->blocking.load(std::memory_order_relaxed)) {
+            do {
+                if (!r->running.load(std::memory_order_relaxed)) return;
+                usleep(500);
+                tail = r->tail.load(std::memory_order_acquire);
+            } while (head + n - tail > r->capacity);
+        } else {
+            // consumer too slow: advance tail (drop oldest), count overrun
+            uint64_t excess = head + n - tail - r->capacity;
+            r->tail.store(tail + excess, std::memory_order_release);
+            r->overruns.fetch_add(1, std::memory_order_relaxed);
+        }
     }
-    for (uint64_t i = 0; i < n; i++) {
-        uint64_t idx = (head + i) & r->mask;
-        r->data[idx * 2] = iq[i * 2];
-        r->data[idx * 2 + 1] = iq[i * 2 + 1];
-    }
+    // at most two contiguous segments (wrap) — plain memcpy, vectorized
+    uint64_t start = head & r->mask;
+    uint64_t first = r->capacity - start;
+    if (first > n) first = n;
+    memcpy(r->data + start * 2, iq, first * 2 * sizeof(float));
+    if (n > first)
+        memcpy(r->data, iq + first * 2, (n - first) * 2 * sizeof(float));
     r->head.store(head + n, std::memory_order_release);
+}
+
+void ring_write(Ring* r, const float* iq, uint64_t n) {
+    // a chunk larger than the whole ring (tiny rings in tests) must be
+    // written in ring-sized pieces or the segment copies run off the end
+    while (n > r->capacity) {
+        ring_write_chunk(r, iq, r->capacity);
+        iq += r->capacity * 2;
+        n -= r->capacity;
+    }
+    if (n) ring_write_chunk(r, iq, n);
 }
 
 constexpr size_t CHUNK = 1 << 16;  // bytes per read
@@ -122,6 +147,7 @@ Ring* iq_ring_create(uint64_t capacity_samples) {
     r->overruns = 0;
     r->running = false;
     r->eof = false;
+    r->blocking = false;
     r->fd = -1;
     return r;
 }
@@ -176,11 +202,14 @@ uint64_t iq_ring_read(Ring* r, float* out, uint64_t n, int timeout_ms) {
             continue;
         }
         uint64_t take = avail < (n - done) ? avail : (n - done);
-        for (uint64_t i = 0; i < take; i++) {
-            uint64_t idx = (tail + i) & r->mask;
-            out[(done + i) * 2] = r->data[idx * 2];
-            out[(done + i) * 2 + 1] = r->data[idx * 2 + 1];
-        }
+        uint64_t start = tail & r->mask;
+        uint64_t first = r->capacity - start;
+        if (first > take) first = take;
+        memcpy(out + done * 2, r->data + start * 2,
+               first * 2 * sizeof(float));
+        if (take > first)
+            memcpy(out + (done + first) * 2, r->data,
+                   (take - first) * 2 * sizeof(float));
         r->tail.store(tail + take, std::memory_order_release);
         done += take;
     }
@@ -206,19 +235,35 @@ uint64_t iq_ring_read_s16(Ring* r, int16_t* out, uint64_t n, int timeout_ms) {
             continue;
         }
         uint64_t take = avail < (n - done) ? avail : (n - done);
-        for (uint64_t i = 0; i < take; i++) {
-            uint64_t idx = (tail + i) & r->mask;
-            for (int c = 0; c < 2; c++) {
-                float v = r->data[idx * 2 + c] * 32768.0f;
-                if (v > 32767.0f) v = 32767.0f;
-                if (v < -32768.0f) v = -32768.0f;
-                out[(done + i) * 2 + c] = static_cast<int16_t>(v);
-            }
+        // two contiguous segments; tight branchless loop auto-vectorizes
+        uint64_t start = tail & r->mask;
+        uint64_t first = r->capacity - start;
+        if (first > take) first = take;
+        const float* seg = r->data + start * 2;
+        int16_t* dst = out + done * 2;
+        uint64_t m1 = first * 2, m2 = (take - first) * 2;
+        for (uint64_t i = 0; i < m1; i++) {
+            float v = seg[i] * 32768.0f;
+            v = v > 32767.0f ? 32767.0f : v;
+            v = v < -32768.0f ? -32768.0f : v;
+            dst[i] = static_cast<int16_t>(v);
+        }
+        seg = r->data;
+        dst = out + (done + first) * 2;
+        for (uint64_t i = 0; i < m2; i++) {
+            float v = seg[i] * 32768.0f;
+            v = v > 32767.0f ? 32767.0f : v;
+            v = v < -32768.0f ? -32768.0f : v;
+            dst[i] = static_cast<int16_t>(v);
         }
         r->tail.store(tail + take, std::memory_order_release);
         done += take;
     }
     return done;
+}
+
+void iq_ring_set_blocking(Ring* r, int blocking) {
+    r->blocking.store(blocking != 0);
 }
 
 uint64_t iq_ring_available(Ring* r) {

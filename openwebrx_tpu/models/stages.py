@@ -190,9 +190,24 @@ class BandpassStage(OpStage):
 
     def set_bandpass(self, low_cut_hz, high_cut_hz):
         """Scalars (shared) or per-channel arrays (each listener drags their
-        own passband; the response param becomes (C, nfft))."""
-        self._low = np.asarray(low_cut_hz, np.float64)
-        self._high = np.asarray(high_cut_hz, np.float64)
+        own passband; the response param becomes (C, nfft)).
+
+        No-op when the edges are value-identical to the current ones: a
+        bank's monolithic param rebuild pushes ALL control arrays on any
+        retune, and redesigning + re-uploading an unchanged (C, nfft)
+        response (tens of MB for big banks) would otherwise dominate
+        retune-churn workloads."""
+        # COPY: callers (banks) mutate their control arrays in place and
+        # re-push; storing the caller's array would alias it and make the
+        # equality check below always true (nothing would ever recompute)
+        low = np.array(low_cut_hz, np.float64, copy=True)
+        high = np.array(high_cut_hz, np.float64, copy=True)
+        if (low.shape == self._low.shape and high.shape == self._high.shape
+                and np.array_equal(low, self._low)
+                and np.array_equal(high, self._high)):
+            return
+        self._low = low
+        self._high = high
         self._bump()
         if hasattr(self, "in_spec"):  # pre-plan: plan() will compute it
             self._recompute()

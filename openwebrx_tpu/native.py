@@ -60,6 +60,7 @@ def _load():
         lib.iq_ring_overruns.argtypes = [ctypes.c_void_p]
         lib.iq_ring_eof.restype = ctypes.c_int
         lib.iq_ring_eof.argtypes = [ctypes.c_void_p]
+        lib.iq_ring_set_blocking.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.iq_ring_stop.argtypes = [ctypes.c_void_p]
         lib.iq_ring_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -81,6 +82,8 @@ class IqIngest:
         self._lib = _load()
         self._ring = self._lib.iq_ring_create(capacity_samples)
         self._closed = False
+        self._pools: dict[str, list] = {}
+        self._pool_idx: dict[str, int] = {}
 
     def connect(self, host: str, port: int, fmt: int = FORMAT_F32):
         if self._lib.iq_ring_connect(self._ring, host.encode(), port, fmt) != 0:
@@ -90,10 +93,39 @@ class IqIngest:
         if self._lib.iq_ring_start_fd(self._ring, fd, fmt) != 0:
             raise RuntimeError("ingest already running")
 
+    def set_blocking(self, blocking: bool = True):
+        """Backpressure mode: when the ring is full the ingest thread
+        WAITS instead of dropping oldest samples — for file replay and
+        bench feeds, where the producer should stall (pipe backpressure)
+        rather than burn CPU converting samples that get dropped.  Live
+        SDR sources keep the default drop-oldest streaming semantics."""
+        self._lib.iq_ring_set_blocking(self._ring, 1 if blocking else 0)
+
+    _POOL = 8   # rotating output buffers; larger than any pipeline depth
+
+    def _pooled(self, key, shape, dtype) -> np.ndarray:
+        """Rotating pre-faulted output buffer.  A fresh np.empty per block
+        costs first-touch page faults (~45 ms for a 13 MB block on this
+        class of host — measured round 5, dominating the read); rotating
+        through a small pool amortizes the faults to zero.  Pool depth 8
+        exceeds every pipeline depth in the tree, so a buffer is never
+        recycled while a device transfer may still reference it."""
+        pool = self._pools.setdefault(key, [])
+        if len(pool) < self._POOL:
+            buf = np.zeros(shape, dtype)        # zeros → faulted now
+            pool.append(buf)
+            return buf
+        buf = pool[self._pool_idx.get(key, 0) % self._POOL]
+        self._pool_idx[key] = self._pool_idx.get(key, 0) + 1
+        if buf.shape != shape:                  # block size changed
+            buf = np.zeros(shape, dtype)
+            pool[self._pool_idx[key] % self._POOL] = buf
+        return buf
+
     def read_block(self, n_samples: int, timeout: float = 2.0) -> np.ndarray | None:
         """Blocking read of exactly n complex64 samples (None on timeout/EOF
         with no data)."""
-        out = np.empty(n_samples, np.complex64)
+        out = self._pooled("c64", (n_samples,), np.complex64)
         got = self._lib.iq_ring_read(
             self._ring, out.ctypes.data_as(ctypes.c_void_p), n_samples,
             int(timeout * 1000))
@@ -109,7 +141,7 @@ class IqIngest:
         samples (±32767 ↔ ±1.0) — HALF the host→device bytes of complex64;
         the jit boundary converts to float on the accelerator
         (runtime/chain.py _unpack_leaf)."""
-        out = np.empty((n_samples, 2), np.int16)
+        out = self._pooled("s16", (n_samples, 2), np.int16)
         got = self._lib.iq_ring_read_s16(
             self._ring, out.ctypes.data_as(ctypes.c_void_p), n_samples,
             int(timeout * 1000))

@@ -513,6 +513,8 @@ class Program:
         buffer, then zero-copy views per leaf.  Complex outputs come back
         as np complex64, sub-word outputs as their original dtype/shape."""
         buf = np.asarray(fused)
+        from openwebrx_tpu.runtime.keepalive import TransportKeepalive
+        TransportKeepalive.note_fetch()
         yp, auxp = unfuse_buffer(buf, self._fuse_treedef, self._fuse_plan)
         y = jax.tree.map(_decode_out_leaf, yp, self._y_codec)
         aux = jax.tree.map(_decode_out_leaf, auxp, self._aux_codec)
@@ -545,6 +547,8 @@ class Program:
     def fetch_many(self, joined, n: int):
         """Decode a join_pending batch → list of n (y, aux), in order."""
         buf = np.asarray(joined)
+        from openwebrx_tpu.runtime.keepalive import TransportKeepalive
+        TransportKeepalive.note_fetch()
         out = []
         for i in range(n):
             seg = buf[i * self._fuse_words:(i + 1) * self._fuse_words]

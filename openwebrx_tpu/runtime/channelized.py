@@ -354,6 +354,8 @@ class ChannelizedBank:
         zero-copy views (complex → np complex64, sub-word → original
         dtype)."""
         buf = np.asarray(fused)
+        from openwebrx_tpu.runtime.keepalive import TransportKeepalive
+        TransportKeepalive.note_fetch()
         yp, auxp = unfuse_buffer(buf, self._fuse_treedef, self._fuse_plan)
         y = jax.tree.map(_decode_out_leaf, yp, self._y_codec)
         aux = jax.tree.map(_decode_out_leaf, auxp, self._aux_codec)
@@ -363,6 +365,8 @@ class ChannelizedBank:
         """Decode a delivery-stride batch: one fetch of the K-block joined
         buffer → list of K (y, aux) results in dispatch order."""
         buf = np.asarray(joined)
+        from openwebrx_tpu.runtime.keepalive import TransportKeepalive
+        TransportKeepalive.note_fetch()
         out = []
         for i in range(n):
             seg = buf[i * self._fuse_words:(i + 1) * self._fuse_words]

@@ -580,6 +580,19 @@ class DigitalVoiceHandle:
         self._pending: list[np.ndarray] = []
         self._pending_len = 0
         self.meta_parser = MetaParser(self._on_meta)
+        # NATIVE frame layer (round 5): DMR/YSF sync + FEC + LC decode run
+        # in-process on the dibit stream, so talker metadata reaches the
+        # MetaPanel with ZERO external binaries (digimodes/dmr.py,
+        # digimodes/ysf.py; reference needs digiham, csdr/chain/digiham.py
+        # :15-76).  The external pipeline still gets the dibits for the
+        # AMBE vocoder audio when its binary exists.
+        self._frames = None
+        if mode == "dmr":
+            from openwebrx_tpu.digimodes.dmr import DmrDecoder
+            self._frames = DmrDecoder(self.meta_parser.process)
+        elif mode == "ysf":
+            from openwebrx_tpu.digimodes.ysf import YsfDecoder
+            self._frames = YsfDecoder(self.meta_parser.process)
         self.pipeline = SubprocessPipeline(
             command_override or DV_DECODERS[mode], self._on_audio_bytes,
             line_based=False, on_meta_line=self.meta_parser.feed_line)
@@ -609,7 +622,13 @@ class DigitalVoiceHandle:
             self._pending = [rest] if len(rest) else []
             self._pending_len = len(rest)
             dibits, _ = self.program.process(chunk)
-            self.pipeline.feed(np.asarray(dibits).astype(np.uint8).tobytes())
+            dib = np.asarray(dibits).astype(np.uint8)
+            if self._frames is not None:
+                try:
+                    self._frames.feed(dib)       # native metadata path
+                except Exception:
+                    logger.exception("%s frame decode failed", self.mode)
+            self.pipeline.feed(dib.tobytes())
 
     def close(self):
         self.runtime.release_secondary(self)
@@ -693,7 +712,19 @@ class DeviceRuntime:
     def __init__(self, source: SdrSource, fft_size: int = 4096, fft_fps: float = 9.0,
                  audio_rate: float = 12000.0, compression: str = "adpcm",
                  fft_compression: str = "adpcm", capacity: int = 16,
-                 target_seconds: float = 0.1, pipeline_depth: int = 2):
+                 target_seconds: float = 0.1, pipeline_depth: int = 2,
+                 pfb_capacity: int | None = None,
+                 service_delivery_seconds: float = 0.3):
+        # background service results are delivered in batches of roughly
+        # this much signal: every coalesced device→host transfer saves a
+        # serialized round trip on tunnel/PCIe transports, and background
+        # decoders buffer seconds anyway (the FT8 chopper's unit is 15 s)
+        self.service_delivery_seconds = float(service_delivery_seconds)
+        # `capacity` sizes the full-rate banks (each slot there costs a
+        # full-rate chain); `pfb_capacity` independently sizes the
+        # filterbank banks, whose per-slot cost is a channel-rate row —
+        # hundreds of PFB slots are cheap, hundreds of full-rate are not
+        self.pfb_capacity = pfb_capacity
         # software pipeline depth: how many blocks may be in flight between
         # dispatch and completion.  Device→host result copies on a
         # tunnel-attached TPU take ~25-50 ms to land after issue (fixed
@@ -830,12 +861,8 @@ class DeviceRuntime:
                     stride = 1
                     compression = self.compression
                 else:
-                    # deliver service results in ~0.3 s batches: background
-                    # decoders buffer seconds anyway (the FT8 chopper's
-                    # unit is 15 s), and every coalesced device→host
-                    # transfer saves a serialized round trip on tunnel/PCIe
-                    # transports (ChannelizedBank.feed_dispatch)
-                    stride = max(1, int(round(0.3 / self.target_seconds)))
+                    stride = max(1, int(round(self.service_delivery_seconds
+                                              / self.target_seconds)))
                     compression = "none"
                 bank = ChannelizedBank(
                     self.in_rate, m,
@@ -843,7 +870,8 @@ class DeviceRuntime:
                     audio_rate=(48000.0 if bucket == "wfm"
                                 else self.audio_rate),
                     compression=compression, block=self.block,
-                    capacity=min(m, max(64, self.capacity)),
+                    capacity=min(m, self.pfb_capacity
+                                 or max(64, self.capacity)),
                     delivery_stride=stride)
                 if interactive and bank.chunk_ratio > 2:
                     # the channel-rate chain's divisibility needs force the
@@ -1099,6 +1127,11 @@ class DeviceRuntime:
             if self._running:
                 return
             self._running = True
+            # keep the device→host stream hot while streaming: sporadic
+            # result fetches on tunnel transports pay a 0.2-3 s channel
+            # cold-start otherwise (runtime/keepalive.py)
+            from openwebrx_tpu.runtime.keepalive import TransportKeepalive
+            TransportKeepalive.shared().acquire()
             self.source.start()
             self._thread = threading.Thread(target=self._loop,
                                             name=f"device-{self.source.id}",
@@ -1106,7 +1139,11 @@ class DeviceRuntime:
             self._thread.start()
 
     def stop(self):
+        if not self._running:
+            return
         self._running = False
+        from openwebrx_tpu.runtime.keepalive import TransportKeepalive
+        TransportKeepalive.shared().release()
         if self._thread is not None:
             self._thread.join(timeout=5)
             self._thread = None
