@@ -43,11 +43,28 @@ def lowpass_taps(cutoff: float, transition: float) -> np.ndarray:
     return h / h.sum()
 
 
-def bandpass_taps(low: float, high: float, transition: float) -> np.ndarray:
+def lowpass_taps_remez(cutoff: float, transition: float) -> np.ndarray:
+    """SECOND, fully independent design path: Parks-McClellan equiripple
+    (scipy.signal.remez) with band edges a half-transition around the
+    −6 dB cutoff.  Exists to kill shared-formula common-mode risk
+    (VERDICT r4 item 3a): the repo's firdes and the windowed-sinc oracle
+    share the classic design formula family, so an error in that formula
+    could pass parity undetected — the equiripple design shares nothing
+    with it but the spec."""
+    ntaps = _odd(max(11, int(np.ceil(4.0 / transition))))
+    lo = max(cutoff - transition / 2, 1e-4)
+    hi = min(cutoff + transition / 2, 0.4999)
+    h = signal.remez(ntaps, [0.0, lo, hi, 0.5], [1.0, 0.0])
+    return h / h.sum()
+
+
+def bandpass_taps(low: float, high: float, transition: float,
+                  design: str = "hamming") -> np.ndarray:
     """Complex bandpass = lowpass shifted to band center (asymmetric OK)."""
     bw2 = (high - low) / 2
     center = (high + low) / 2
-    lp = lowpass_taps(max(bw2, transition / 2 + 1e-6), transition)
+    make = lowpass_taps_remez if design == "remez" else lowpass_taps
+    lp = make(max(bw2, transition / 2 + 1e-6), transition)
     n = np.arange(len(lp)) - (len(lp) - 1) / 2
     return lp * np.exp(2j * np.pi * center * n)
 
@@ -109,19 +126,25 @@ def plan_decimation(in_rate: float, out_rate: float):
 
 
 def selector(x: np.ndarray, in_rate: float, out_rate: float,
-             offset_hz: float, low_cut: float, high_cut: float) -> np.ndarray:
-    """Shift → Decimator → Bandpass, reference design constants throughout."""
+             offset_hz: float, low_cut: float, high_cut: float,
+             design: str = "hamming") -> np.ndarray:
+    """Shift → Decimator → Bandpass, reference design constants throughout.
+
+    design="remez" swaps every filter for the independent equiripple
+    design (same cutoffs/transitions) — see lowpass_taps_remez."""
+    make = lowpass_taps_remez if design == "remez" else lowpass_taps
     y = shift(x, -offset_hz / in_rate)
     d, fraction = plan_decimation(in_rate, out_rate)
     transition = 0.15 * (out_rate / in_rate)
     cutoff = 0.5 * out_rate / in_rate        # precompensated final Nyquist
-    y = fir_decimate(y, d, lowpass_taps(cutoff, transition))
+    y = fir_decimate(y, d, make(cutoff, transition))
     if abs(fraction - 1.0) > 1e-9:
         # fraction = remaining decimation ratio (>1): rate ÷ fraction
         from fractions import Fraction
         f = Fraction(fraction).limit_denominator(10000)
         y = fractional_decimate(y, f.denominator, f.numerator)
-    bp = bandpass_taps(low_cut / out_rate, high_cut / out_rate, 320.0 / out_rate)
+    bp = bandpass_taps(low_cut / out_rate, high_cut / out_rate,
+                       320.0 / out_rate, design=design)
     return signal.lfilter(bp, [1.0], y)
 
 
@@ -158,6 +181,37 @@ def wfm_chain(x: np.ndarray, in_rate: float, offset_hz: float,
     f = Fraction(int(audio_rate), int(if_rate))
     audio = fractional_decimate(audio, f.numerator, f.denominator)
     return deemphasis(audio, audio_rate, tau)
+
+
+# ---------------------------------------------------------------- AGC ----
+def agc(x: np.ndarray, reference: float = 0.8,
+        max_gain: float = 65536.0) -> np.ndarray:
+    """Independent per-sample AGC with the FAST-profile dynamics (same
+    constants as ops/agc.py FAST — attack 0.9 / decay 0.01 per 50-sample
+    chunk, 8-chunk hang — but a different mechanism: sliding-max envelope
+    follower + per-sample gain recurrence, no chunking, no interpolation).
+    Used to parity-check the full chain INCLUDING AGC without per-window
+    gain fitting (VERDICT r4 item 3c)."""
+    from scipy.ndimage import maximum_filter1d
+    la = 1.0 - (1.0 - 0.9) ** (1.0 / 50.0)      # per-sample attack
+    ld = 1.0 - (1.0 - 0.01) ** (1.0 / 50.0)     # per-sample decay
+    hang_n = 8 * 50
+    env = maximum_filter1d(np.abs(np.asarray(x, np.float64)), size=50,
+                           mode="nearest")
+    g, h = 1.0, 0
+    gains = np.empty(len(x))
+    for i in range(len(x)):
+        target = reference / max(env[i], 1e-9)
+        if target < g:
+            g += la * (target - g)
+            h = hang_n
+        elif h > 0:
+            h -= 1
+        else:
+            g += ld * (target - g)
+        g = min(max(g, 1e-6), max_gain)
+        gains[i] = g
+    return np.asarray(x) * gains
 
 
 # ------------------------------------------------------------- comparison

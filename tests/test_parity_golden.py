@@ -13,6 +13,16 @@ Documented SNR bounds (parity error power below reference output power):
     NFM / AM / SSB audio (pre-AGC) ≥ 35 dB
     WFM audio (fractional path)    ≥ 25 dB  (scipy kaiser vs hamming resampler)
     full chain incl. AGC (gain-matched per 25 ms) ≥ 25 dB
+
+Hardened round 5 (VERDICT r4 item 3):
+    selector vs the SECOND oracle (remez equiripple designs) ≥ 45 dB —
+      kills shared-design-formula common-mode risk (measured 59.5 dB)
+    impairment sweep (DC, IQ imbalance, clipping, +30 dB adjacent
+      blocker): parity ≥ 60 dB AND degradation-vs-clean matches the
+      oracle within 2 dB when audible
+    full chain incl. AGC vs the oracle's independent per-sample AGC,
+      single scalar gain only (NO per-window fitting) ≥ 12 dB
+      (measured 16.7 dB; the gain-matched 25 dB bound above still runs)
 """
 
 import numpy as np
@@ -198,3 +208,112 @@ def test_bandpass_design_meets_csdr_spec():
     assert np.all(np.abs(h_db[inband]) < 0.5), "passband ripple > 0.5 dB"
     stop = ((w < low - transition) | (w > high + transition))
     assert h_db[stop].max() < -40.0, f"stopband only {h_db[stop].max():.1f} dB"
+
+
+# ----------------------------------------------- hardened parity (round 5) --
+def test_selector_parity_vs_remez_oracle(iq):
+    """SECOND independent oracle design path (Parks-McClellan equiripple,
+    scipy.signal.remez) — kills shared-formula common-mode risk: our
+    firdes and the windowed-sinc oracle share the classic design formula
+    family; the equiripple design shares only the spec (VERDICT r4 3a).
+    Measured 59.5 dB; bound 45 leaves generous margin."""
+    sel = _sel(cap.NFM_OFFSET, 48000.0, -4000.0, 4000.0)
+    ours = run_chain(sel, iq)
+    ref = oracle.selector(np.asarray(iq, np.complex128), FS, 48000.0,
+                          cap.NFM_OFFSET, -4000.0, 4000.0, design="remez")
+    n = min(len(ours), len(ref))
+    snr = oracle.snr_db(settled(ref[:n], 48000), settled(ours[:n], 48000))
+    assert snr >= 45.0, f"remez-oracle selector parity {snr:.1f} dB < 45 dB"
+
+
+def test_oracle_designs_agree():
+    """The two oracle designs themselves agree in band (windowed-sinc vs
+    equiripple): any >0.5 dB in-band response disagreement would mean one
+    of the 'independent' oracles is wrong."""
+    cutoff, transition = 0.1, 0.0125
+    for taps in (oracle.lowpass_taps(cutoff, transition),
+                 oracle.lowpass_taps_remez(cutoff, transition)):
+        w = np.fft.rfftfreq(65536)
+        h_db = 20 * np.log10(np.maximum(
+            np.abs(np.fft.rfft(taps, 65536)), 1e-12))
+        inband = w <= cutoff - transition
+        assert np.all(np.abs(h_db[inband]) < 0.5)
+        stop = w >= cutoff + transition
+        assert h_db[stop].max() < -40.0
+
+
+def _impair(name, x, n0):
+    if name == "dc":            # receiver DC offset
+        return (x + 0.05).astype(np.complex64)
+    if name == "iqimb":         # 1 dB gain + 5 deg phase imbalance
+        a = 10 ** (0.5 / 20)
+        ph = np.deg2rad(5.0)
+        i, q = x.real * a, x.imag / a
+        return (i + 1j * (q * np.cos(ph) + i * np.sin(ph))) \
+            .astype(np.complex64)
+    if name == "clip":          # front-end clipping at half scale
+        return (np.clip(x.real, -0.5, 0.5)
+                + 1j * np.clip(x.imag, -0.5, 0.5)).astype(np.complex64)
+    if name == "blocker":       # +30 dB carrier 25 kHz above the dial
+        return (x + 2.0 * np.exp(
+            2j * np.pi * (cap.NFM_OFFSET + 25e3) * n0 / FS)) \
+            .astype(np.complex64)
+    raise KeyError(name)
+
+
+@pytest.mark.parametrize("impairment", ["dc", "iqimb", "clip", "blocker"])
+def test_impairment_parity(iq, impairment):
+    """Adversarial front-end impairments (VERDICT r4 3b): DC offset, IQ
+    imbalance, clipping, strong adjacent blocker.  Parity must HOLD (both
+    implementations see the same damaged signal and must degrade
+    identically), and the degradation itself must match the oracle's
+    within 2 dB — the 'graceful degradation matches' assertion."""
+    n0 = np.arange(len(iq))
+    x = _impair(impairment, iq.copy(), n0)
+    chain = Chain([
+        _sel(cap.NFM_OFFSET, 48000.0, -4000.0, 4000.0),
+        FmDemodStage(), LimitStage(), DeemphasisStage(NFM_TAU, name="deemph"),
+    ], name=f"nfm_{impairment}")
+    ours = run_chain(chain, x)
+    ref = oracle.nfm_chain(np.asarray(x, np.complex128), FS, 48000.0,
+                           cap.NFM_OFFSET, tau=NFM_TAU)
+    clean = oracle.nfm_chain(np.asarray(iq, np.complex128), FS, 48000.0,
+                             cap.NFM_OFFSET, tau=NFM_TAU)
+    n = min(len(ours), len(ref), len(clean))
+    snr = oracle.snr_db(settled(ref[:n], 48000), settled(ours[:n], 48000))
+    assert snr >= 60.0, f"{impairment}: parity {snr:.1f} dB < 60 dB"
+    deg_ref = oracle.snr_db(settled(clean[:n], 48000),
+                            settled(ref[:n], 48000))
+    deg_ours = oracle.snr_db(settled(clean[:n], 48000),
+                             settled(ours[:n], 48000))
+    # above ~60 dB the 'degradation' is just each side's float precision
+    # floor (the impairment was fully rejected) — only a REAL audible
+    # degradation must match between the implementations
+    if min(deg_ref, deg_ours) < 60.0:
+        assert abs(deg_ref - deg_ours) < 2.0, \
+            f"{impairment}: degradation diverges " \
+            f"({deg_ref:.1f} vs {deg_ours:.1f} dB)"
+
+
+def test_full_chain_agc_parity_no_gain_matching(iq):
+    """Full chain INCLUDING AGC against the oracle's independent
+    per-sample AGC (sliding-max envelope follower, same FAST-profile
+    constants), compared with only a single scalar gain — NO per-window
+    fitting, so AGC gain-trajectory mismatches count against the budget
+    (VERDICT r4 3c; the 25 dB gain-matched test above still runs).
+    Measured 16.7 dB (two different AGC laws tracking the same signal);
+    bound 12 dB."""
+    chain = ClientDemodulatorChain(FS, mode="nfm", compression="none")
+    chain.set_frequency_offset(cap.NFM_OFFSET)
+    chain.set_squelch_level(-150.0)
+    ours = run_chain(chain, iq).astype(np.float64) / 32768.0
+    ref48 = oracle.nfm_chain(np.asarray(iq, np.complex128), FS, 48000.0,
+                             cap.NFM_OFFSET, tau=NFM_TAU)
+    ref12 = oracle.fir_decimate(ref48, 4,
+                                oracle.lowpass_taps(0.125, 0.15 / 4))
+    ref = oracle.agc(ref12)
+    _, r, t = oracle.align(settled(ref, 12000), settled(ours, 12000),
+                           max_lag=256)
+    g = float(np.dot(r, t) / max(np.dot(t, t), 1e-12))
+    snr = oracle.snr_db(r, t * g)
+    assert snr >= 12.0, f"AGC-inclusive parity {snr:.1f} dB < 12 dB"
