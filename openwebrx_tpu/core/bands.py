@@ -101,6 +101,41 @@ BANDS = [
 ]
 
 
+def load_bands_file(path: str) -> list[Band]:
+    """Parse a bands JSON file (same shape as the reference's bands.json /
+    bands-r{1,2,3}.json: name, lower_bound, upper_bound, frequencies,
+    tags — reference owrx/bands.py:73-90), so existing deployments' band
+    files drop straight in."""
+    import json
+    with open(path) as f:
+        raw = json.load(f)
+    out = []
+    for b in raw:
+        freqs = {}
+        for mode, v in (b.get("frequencies") or {}).items():
+            if isinstance(v, dict):
+                v = v.get("frequency")
+            freqs[mode] = v
+        out.append(Band(b["name"], b["lower_bound"], b["upper_bound"],
+                        b.get("tags"), freqs))
+    return out
+
+
+REGIONS = ("r1", "r2", "r3")
+
+
+def load_region(region: str) -> list[Band]:
+    """ITU-region bandplan from the shipped data packs
+    (data/bands-r{1,2,3}.json; public IARU/ITU allocation data —
+    reference ships the same as bands-r1/r2/r3.json)."""
+    import os
+    if region not in REGIONS:
+        raise KeyError(f"unknown bandplan region {region!r}")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "data", f"bands-{region}.json")
+    return load_bands_file(path)
+
+
 class Bandplan:
     _instance = None
     _lock = threading.Lock()
@@ -113,7 +148,27 @@ class Bandplan:
             return Bandplan._instance
 
     def __init__(self, bands=None):
+        if bands is None:
+            bands = self._configured_bands()
         self.bands = bands if bands is not None else BANDS
+
+    @staticmethod
+    def _configured_bands():
+        """Config-driven band set: ``bands_json`` (a file path, highest
+        priority) or ``bandplan_region`` ("r1"/"r2"/"r3"); None → the
+        built-in default table."""
+        try:
+            from openwebrx_tpu.core.config import Config
+            cfg = Config.get()
+            path = cfg.get("bands_json")
+            if path:
+                return load_bands_file(path)
+            region = cfg.get("bandplan_region")
+            if region:
+                return load_region(str(region))
+        except Exception:
+            return None
+        return None
 
     def find_band(self, freq: float) -> Band | None:
         for band in self.bands:

@@ -11,6 +11,11 @@ import json
 import os
 import threading
 
+
+def _packs_dir() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "data", "bookmarks.d")
+
 SCANNABLE_MODES = ["nfm", "wfm", "am", "sam", "lsb", "usb", "cw"]
 
 
@@ -51,6 +56,10 @@ class Bookmarks:
     def __init__(self, path: str | None = None):
         self.path = path
         self.bookmarks: list[Bookmark] = []
+        # read-only entries from the shipped packs (data/bookmarks.d/*,
+        # the reference's bookmarks.d equivalent): merged into reads,
+        # never written back to the user's bookmarks.json
+        self.pack_bookmarks: list[Bookmark] = []
         self.subscriptions: list[tuple[tuple, object]] = []
         if path and os.path.exists(path):
             try:
@@ -58,12 +67,43 @@ class Bookmarks:
                     self.bookmarks = [Bookmark(b) for b in json.load(f)]
             except (OSError, json.JSONDecodeError, ValueError):
                 self.bookmarks = []
+        self._load_packs()
+
+    @staticmethod
+    def available_packs() -> list[str]:
+        d = _packs_dir()
+        try:
+            return sorted(f[:-5] for f in os.listdir(d)
+                          if f.endswith(".json"))
+        except OSError:
+            return []
+
+    def _load_packs(self):
+        """Packs selected by the ``bookmark_packs`` config key (a list of
+        pack names, or "all")."""
+        try:
+            from openwebrx_tpu.core.config import Config
+            selected = Config.get().get("bookmark_packs")
+        except Exception:
+            selected = None
+        if not selected:
+            return
+        names = self.available_packs() if selected == "all" else selected
+        for name in names:
+            p = os.path.join(_packs_dir(), f"{os.path.basename(name)}.json")
+            try:
+                with open(p) as f:
+                    self.pack_bookmarks += [Bookmark(b)
+                                            for b in json.load(f)]
+            except (OSError, json.JSONDecodeError, ValueError):
+                continue
 
     def get_bookmarks(self, frequency_range=None) -> list[Bookmark]:
+        allb = self.bookmarks + self.pack_bookmarks
         if frequency_range is None:
-            return list(self.bookmarks)
+            return allb
         low, high = frequency_range
-        return [b for b in self.bookmarks if low <= b.frequency <= high]
+        return [b for b in allb if low <= b.frequency <= high]
 
     def add(self, bookmark: Bookmark):
         self.bookmarks.append(bookmark)

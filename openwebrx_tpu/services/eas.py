@@ -7,12 +7,14 @@ Behavioral equivalent of the reference's vendored dsame3
 code tables, FIPS state/marine-area names, part-of-county divisions,
 purge-time arithmetic, and the message renderer.
 
-County names: the reference vendors the full ~3000-entry US census
-county table (and CA/MX equivalents).  That is replaceable DATA, not
-logic — here counties resolve through a pluggable CSV
-(``eas_fips_path`` config: lines ``SSCCC,County Name``); without one the
-renderer falls back to "area CCC of <State>", which keeps every other
-field of the message identical.
+County names: the full US (3913-entry) and Canadian (1513-entry) SAME
+location tables ship as a gzipped data pack
+(``data/same_counties.txt.gz`` — public US Census FIPS / Environment
+Canada SGC data, restructured from the same public tables the
+reference's vendored dsame3 carries, owrx/dsame3/defs.py US_SAME_CODE /
+CA_SAME_CODE).  A deployment can still override with a CSV
+(``eas_fips_path`` config: lines ``SSCCC,County Name``); unknown codes
+fall back to "area CCC of <State>".
 """
 
 from __future__ import annotations
@@ -155,6 +157,34 @@ HEADER_RE = re.compile(
     r"-(?P<jjjhhmm>\d{7})-(?P<sender>[\w./ ]+?)-?$")
 
 
+_BUILTIN_DB: dict[str, str] | None = None
+
+
+def builtin_county_db(country: str = "US") -> dict[str, str]:
+    """Built-in SAME location names from the gzipped data pack (lazy;
+    ~120 KB decompressed).  Keys are the 5-digit SSCCC."""
+    global _BUILTIN_DB
+    if _BUILTIN_DB is None:
+        import gzip
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "data", "same_counties.txt.gz")
+        db: dict[str, str] = {}
+        try:
+            with gzip.open(path, "rt", encoding="utf-8") as f:
+                for line in f:
+                    cc, ss, rest = line.rstrip("\n").split(" ", 2)
+                    if cc != country:
+                        continue
+                    for item in rest.split("|"):
+                        ccc, name = item.split(":", 1)
+                        db[ss + ccc] = name
+        except OSError:
+            pass
+        _BUILTIN_DB = db
+    return _BUILTIN_DB
+
+
 def load_county_db(path: str) -> dict[str, str]:
     """Optional county-name CSV: lines ``SSCCC,County Name``."""
     db = {}
@@ -180,7 +210,7 @@ def decode_area(psscc: str, county_db: dict[str, str] | None = None) -> dict:
         county = None
         text = f"all of {state}"
     else:
-        county = (county_db or {}).get(psscc[1:6])
+        county = (county_db or builtin_county_db()).get(psscc[1:6])
         base = county if county else f"area {ccc} of {state}"
         if county:
             base = f"{county}, {state}"

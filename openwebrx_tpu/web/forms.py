@@ -144,6 +144,14 @@ PAGES: dict[str, list[Section]] = {
                   "checkbox"),
             Field("magic_key", "Magic key",
                   infotext="Key required for frequency changes"),
+            Field("bandplan_region", "Bandplan region", "dropdown",
+                  options=[_opt("", "Built-in default"),
+                           _opt("r1", "ITU Region 1 (EU/Africa)"),
+                           _opt("r2", "ITU Region 2 (Americas)"),
+                           _opt("r3", "ITU Region 3 (Asia-Pacific)")]),
+            Field("bookmark_packs", "Bookmark packs", "json",
+                  infotext='List of shipped packs to merge read-only, '
+                           'e.g. ["marine", "aviation"] or "all"'),
         ]),
         Section("Waterfall", [
             Field("fft_fps", "Waterfall update rate", "number",

@@ -106,7 +106,27 @@ def build_router() -> Router:
             out["ccode"] = entry[0]
         return json_response(out)
 
+    def bands(request):
+        """Bandplan API: the active plan, or ?region=r1|r2|r3 for a
+        shipped regional pack (reference ships bands-r{1,2,3}.json)."""
+        from openwebrx_tpu.core.bands import Bandplan, load_region, REGIONS
+        region = request.query.get("region")
+        if region:
+            try:
+                plan = load_region(region)
+            except (KeyError, OSError):
+                return json_response({"error": f"unknown region {region}",
+                                      "regions": list(REGIONS)}, status=404)
+        else:
+            plan = Bandplan.shared().bands
+        return json_response({
+            "regions": list(REGIONS),
+            "bands": [{"name": b.name, "lower_bound": b.low,
+                       "upper_bound": b.high, "tags": b.tags,
+                       "frequencies": b.frequencies} for b in plan]})
+
     router.add("/status.json", status)
+    router.add("/api/bands", bands)
     router.add("/api/lookup", lookup)
     router.add("/api/features", features)
     router.add("/metrics.json", metrics)
