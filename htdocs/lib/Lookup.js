@@ -68,6 +68,8 @@ const Lookup = {
   },
 
   /* ----------------------------------------------------------- panel -- */
+  _history: [],               /* recent queries, newest first */
+
   ensure() {
     if (this.panel) return this.panel;
     const p = document.createElement("div");
@@ -75,24 +77,70 @@ const Lookup = {
     p.style.display = "none";
     p.innerHTML = `
       <div class="lookup-head">
-        <span id="lookup-title"></span>
+        <span id="lookup-title">Lookup</span>
         <button id="lookup-close">×</button>
       </div>
+      <div class="lookup-search">
+        <input id="lookup-input" type="text" spellcheck="false"
+               placeholder="callsign / MMSI / ICAO hex"/>
+        <button id="lookup-go">go</button>
+      </div>
       <div id="lookup-body"></div>
-      <div id="lookup-links"></div>`;
+      <div id="lookup-links"></div>
+      <div id="lookup-history"></div>`;
     document.body.appendChild(p);
     p.querySelector("#lookup-close").onclick = () => this.hide();
+    const input = p.querySelector("#lookup-input");
+    const go = () => { if (input.value.trim()) this.show(input.value); };
+    p.querySelector("#lookup-go").onclick = go;
+    input.addEventListener("keydown", e => {
+      if (e.key === "Enter") go();
+      e.stopPropagation();      /* don't trigger receiver shortcuts */
+    });
     this.panel = p;
     return p;
   },
 
   hide() { if (this.panel) this.panel.style.display = "none"; },
 
+  /* open the panel with the search box focused (keyboard entry point) */
+  open() {
+    const p = this.ensure();
+    p.style.display = "block";
+    this._renderHistory();
+    p.querySelector("#lookup-input").focus();
+  },
+
+  _remember(query) {
+    this._history = [query,
+                     ...this._history.filter(q => q !== query)].slice(0, 8);
+    this._renderHistory();
+  },
+
+  _renderHistory() {
+    const el = this.panel && this.panel.querySelector("#lookup-history");
+    if (!el) return;
+    el.innerHTML = "";
+    if (!this._history.length) return;
+    el.appendChild(Object.assign(document.createElement("div"),
+                                 {className: "lookup-label",
+                                  textContent: "recent"}));
+    for (const q of this._history) {
+      const b = document.createElement("button");
+      b.className = "lookup-hist-btn";
+      b.textContent = q;
+      b.onclick = () => this.show(q);
+      el.appendChild(b);
+    }
+  },
+
   async show(query, kind) {
     const p = this.ensure();
     query = String(query).trim();
     if (!query) return;
+    this._remember(query);
     p.querySelector("#lookup-title").textContent = query;
+    p.querySelector("#lookup-input").value = query;
     const body = p.querySelector("#lookup-body");
     body.textContent = "looking up…";
     p.style.display = "block";
@@ -112,7 +160,9 @@ const Lookup = {
     if (info && info.kind === "callsign") {
       row("type", "amateur callsign");
       row("country", this.countryText(info));
+      if (info.itu_code) row("ITU prefix", info.itu_code.toUpperCase());
       if (info.ccode) row("ISO", info.ccode.toUpperCase());
+      if (info.continent) row("continent", info.continent);
       if (info.distance_km !== undefined)
         row("distance", `${Math.round(info.distance_km)} km`);
       if (info.bearing_deg !== undefined)
@@ -120,6 +170,7 @@ const Lookup = {
     } else if (info && info.kind === "mmsi") {
       row("type", `MMSI — ${info.type || ""}`);
       row("country", this.countryText(info));
+      if (info.mid !== undefined) row("MID", info.mid);
     } else if (info && (info.kind === "aircraft" || info.kind === "flight")) {
       row("type", "aircraft (24-bit ICAO address)");
       row("registration", info.registration);

@@ -700,6 +700,7 @@ window.addEventListener("keydown", (e) => {
       zoomEl.dispatchEvent(new Event("input")); break;
     case "s": document.getElementById("spectrum-toggle").click(); break;
     case "b": app.bookmarkDialog.open(null); break;
+    case "l": window.Lookup && Lookup.open(); break;
     case " ": document.getElementById("mute").click(); e.preventDefault(); break;
   }
 });

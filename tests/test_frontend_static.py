@@ -139,3 +139,35 @@ def test_new_ui_elements_wired():
     assert "flag(" in lookup and "resolve(" in lookup
     panel = read("lib/MessagePanel.js")
     assert "flagQuery" in panel and "registration" in panel
+
+
+def test_metapanel_depth_round5():
+    """MetaPanel depth pass (VERDICT r4 item 5): DMR badges + color code,
+    YSF/D-Star repeater path + message + position links, DAB audio info,
+    HDR program selector, DRM signal info + text message."""
+    src = read("lib/MetaPanel.js")
+    for needle in ("meta-badge", "color_code", "metaPosition", "map.html?lat=",
+                   "meta.up", "meta.down", "meta.departure", "meta.message",
+                   "DG-ID", "CAN", "bitrate", "hdr_program", "dab_service_id",
+                   "text_message", "callsignText"):
+        assert needle in src, f"MetaPanel missing {needle}"
+    css = read("index.html")
+    for cls in ("meta-badge", "meta-pos"):
+        assert cls in css, f"style missing .{cls}"
+
+
+def test_lookup_panel_ui_round5():
+    """Lookup panel UI: search input, history chips, keyboard entry."""
+    src = read("lib/Lookup.js")
+    for needle in ("lookup-input", "lookup-go", "lookup-history",
+                   "_remember", "open()", "itu_code"):
+        assert needle in src, f"Lookup missing {needle}"
+    receiver = read("receiver.js")
+    assert "Lookup.open()" in receiver      # 'l' shortcut
+    css = read("index.html")
+    assert "lookup-search" in css and "lookup-hist-btn" in css
+
+
+def test_map_deeplink_params():
+    src = read("map.html")
+    assert "URLSearchParams" in src and 'qp.get("lat")' in src
