@@ -134,7 +134,6 @@ class DistributedReceiver:
 
         self._step = jax.jit(step, donate_argnums=(0,))
         self._params = None
-        self._params_version = None
 
     def refresh_params(self):
         """Re-shard chain params after a retune (assign/release/bandpass).
@@ -148,13 +147,16 @@ class DistributedReceiver:
         # dense banks here: the slot gather indices (params[0]) are unused
         _idx, chain_params = self.bank._params()
         self._params = jax.tree.map(self._put, chain_params)
-        self._params_version = self._bank_version()
         return self._params
 
-    def _bank_version(self):
-        b = self.bank
-        return (b._fine.tobytes(), b._squelch.tobytes(),
-                b._low.tobytes(), b._high.tobytes())
+    def _params_stale(self) -> bool:
+        """Cheap per-block staleness check: the bank marks its dirty flag
+        on every control change (assign/retune/squelch/bandpass), so the
+        per-step cost is one attribute read instead of hashing four
+        control arrays (round-5 host-work batching; the bank must not be
+        dispatched directly while owned by a DistributedReceiver, or its
+        _params() call would clear the flag without re-sharding)."""
+        return self._params is None or self.bank._params_dirty
 
     def _assemble(self, x_local: np.ndarray):
         """Host slab ((slab,) complex64 or packed (slab, 2) float32) →
@@ -178,7 +180,7 @@ class DistributedReceiver:
         DeviceRuntime._loop / ChannelizedBank.dispatch)."""
         import jax
         x = self._assemble(x_local)
-        if self._params is None or self._params_version != self._bank_version():
+        if self._params_stale():
             self.refresh_params()
         self.state, yp, check = self._step(self.state, self._params, x)
         audio = yp[0] if isinstance(yp, tuple) else yp
@@ -193,15 +195,22 @@ class DistributedReceiver:
         """Materialize a ``dispatch_local`` result: (channel_indices,
         audio_local, checksum) for the channels this host owns."""
         audio, check = pending
-        idx, rows = [], []
-        for shard in audio.addressable_shards:
-            lo = shard.index[0].start or 0
-            data = np.asarray(shard.data)
-            idx.extend(range(lo, lo + data.shape[0]))
-            rows.append(data)
-        order = np.argsort(idx)
-        idx = np.asarray(idx)[order]
-        rows = np.concatenate(rows, axis=0)[order]
+        # shards sorted by row start: direct writes into one preallocated
+        # output, no argsort/fancy-index pass (round-5 host-work batching)
+        shards = sorted(audio.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        first = np.asarray(shards[0].data)
+        nrows = sum(s.data.shape[0] for s in shards)
+        rows = np.empty((nrows,) + first.shape[1:], first.dtype)
+        idx = np.empty(nrows, np.int64)
+        at = 0
+        for s in shards:
+            data = first if s is shards[0] else np.asarray(s.data)
+            n = data.shape[0]
+            rows[at:at + n] = data
+            lo = s.index[0].start or 0
+            idx[at:at + n] = np.arange(lo, lo + n)
+            at += n
         return idx, rows, float(check)
 
     def process_local(self, x_local: np.ndarray):
@@ -234,6 +243,26 @@ class DistributedReceiver:
         np.asarray(out)
         return (time.perf_counter() - t0) / blocks
 
+    def time_reshard(self, blocks: int = 16) -> float:
+        """Per-step seconds of the time→channel ``all_to_all`` re-shard
+        ALONE (the payload-moving collective; parallel/pfb.py
+        reshard_probe) — recorded separately in SCALING.json."""
+        import time
+
+        import jax
+        from openwebrx_tpu.parallel.pfb import reshard_probe
+
+        probe, y_shape = reshard_probe(self.mesh, "chan",
+                                       self.bank.m, self.bank.block)
+        y = jax.device_put(np.zeros(y_shape, np.float32), self._sharded)
+        np.asarray(probe(y))                         # compile + warm
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(blocks):
+            out = probe(y)
+        np.asarray(out)
+        return (time.perf_counter() - t0) / blocks
+
 
 def _dryrun(cluster: ClusterInfo, m: int = 8, seconds: float = 0.02,
             devices=None):
@@ -244,7 +273,7 @@ def _dryrun(cluster: ClusterInfo, m: int = 8, seconds: float = 0.02,
     bank = ChannelizedBank(48000.0 * m, m, mode="usb", compression="none",
                            target_seconds=seconds)
     for k in range(m):
-        bank.assign(float((k - m // 2) * 48000.0 * 0.9))
+        bank.assign(float((k - m // 2) * 48000.0))
     rx = DistributedReceiver(bank, cluster, devices=devices)
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(bank.block)
@@ -275,7 +304,7 @@ def _bench(cluster: ClusterInfo, m: int, blocks: int,
     bank = ChannelizedBank(48000.0 * m, m, mode="usb", compression="none",
                            target_seconds=seconds)
     for k in range(m):
-        bank.assign(float((k - m // 2) * 48000.0 * 0.9))
+        bank.assign(float((k - m // 2) * 48000.0))
     rx = DistributedReceiver(bank, cluster)
     rng = np.random.default_rng(cluster.process_id)
     slabs = [(rng.standard_normal(rx.slab) + 1j * rng.standard_normal(rx.slab)

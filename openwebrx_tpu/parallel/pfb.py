@@ -83,3 +83,25 @@ def collective_probe(mesh: Mesh, axis: str, prototype, m: int, block: int):
     send_shape = (n * halo, 2)
     y_shape = (n * m, max(1, t_total // n), 2)
     return jitted, send_shape, y_shape
+
+
+def reshard_probe(mesh: Mesh, axis: str, m: int, block: int):
+    """The time→channel ``all_to_all`` re-shard ALONE, on the production
+    step's operand shape — isolates the one collective that moves real
+    payload (the halo ppermute carries P·M samples, the tail psum one
+    vector; the all_to_all moves the whole channelized block).  SCALING
+    .json records this next to the full-collective probe so the
+    transport story decomposes further (VERDICT r4 item 6)."""
+    n = mesh.shape[axis]
+    t_total = block // m
+
+    def inner(y):
+        y2 = jax.lax.all_to_all(y, axis, split_axis=0, concat_axis=1,
+                                tiled=True)
+        return y2.sum()[None]
+
+    probe = jax.shard_map(inner, mesh=mesh, in_specs=(P(axis),),
+                          out_specs=P(axis), check_vma=False)
+    jitted = jax.jit(lambda y: probe(y).sum())
+    y_shape = (n * m, max(1, t_total // n), 2)
+    return jitted, y_shape

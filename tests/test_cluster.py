@@ -36,7 +36,7 @@ def _reference_checksum():
     bank = ChannelizedBank(48000.0 * M, M, mode="usb", compression="none",
                            target_seconds=0.02)
     for k in range(M):
-        bank.assign(float((k - M // 2) * 48000.0 * 0.9))
+        bank.assign(float((k - M // 2) * 48000.0))
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(bank.block)
          + 1j * rng.standard_normal(bank.block)).astype(np.complex64) * 0.1
