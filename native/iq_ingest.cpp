@@ -266,6 +266,51 @@ void iq_ring_set_blocking(Ring* r, int blocking) {
     r->blocking.store(blocking != 0);
 }
 
+// like iq_ring_read but emits uint8 wire samples (rtl-sdr convention:
+// ±1.0 ↔ 127.4±128) — QUARTER the host→accelerator bytes of float32;
+// the jit boundary converts back to float on the device
+// (runtime/chain.py _unpack_leaf)
+uint64_t iq_ring_read_u8(Ring* r, uint8_t* out, uint64_t n, int timeout_ms) {
+    uint64_t deadline_spins = static_cast<uint64_t>(timeout_ms) * 10;
+    uint64_t spins = 0;
+    uint64_t done = 0;
+    while (done < n) {
+        uint64_t head = r->head.load(std::memory_order_acquire);
+        uint64_t tail = r->tail.load(std::memory_order_relaxed);
+        uint64_t avail = head - tail;
+        if (avail == 0) {
+            if (r->eof.load() || !r->running.load()) break;
+            if (++spins > deadline_spins) break;
+            usleep(100);
+            continue;
+        }
+        uint64_t take = avail < (n - done) ? avail : (n - done);
+        uint64_t start = tail & r->mask;
+        uint64_t first = r->capacity - start;
+        if (first > take) first = take;
+        const float* seg = r->data + start * 2;
+        uint8_t* dst = out + done * 2;
+        uint64_t m1 = first * 2, m2 = (take - first) * 2;
+        for (uint64_t i = 0; i < m1; i++) {
+            float v = seg[i] * 128.0f + 127.4f;
+            v = v > 255.0f ? 255.0f : v;
+            v = v < 0.0f ? 0.0f : v;
+            dst[i] = static_cast<uint8_t>(v);
+        }
+        seg = r->data;
+        dst = out + (done + first) * 2;
+        for (uint64_t i = 0; i < m2; i++) {
+            float v = seg[i] * 128.0f + 127.4f;
+            v = v > 255.0f ? 255.0f : v;
+            v = v < 0.0f ? 0.0f : v;
+            dst[i] = static_cast<uint8_t>(v);
+        }
+        r->tail.store(tail + take, std::memory_order_release);
+        done += take;
+    }
+    return done;
+}
+
 uint64_t iq_ring_available(Ring* r) {
     return r->head.load(std::memory_order_acquire) -
            r->tail.load(std::memory_order_relaxed);

@@ -60,6 +60,9 @@ def _load():
         lib.iq_ring_overruns.argtypes = [ctypes.c_void_p]
         lib.iq_ring_eof.restype = ctypes.c_int
         lib.iq_ring_eof.argtypes = [ctypes.c_void_p]
+        lib.iq_ring_read_u8.restype = ctypes.c_uint64
+        lib.iq_ring_read_u8.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_uint64, ctypes.c_int]
         lib.iq_ring_set_blocking.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.iq_ring_stop.argtypes = [ctypes.c_void_p]
         lib.iq_ring_destroy.argtypes = [ctypes.c_void_p]
@@ -149,6 +152,24 @@ class IqIngest:
             return None
         if got < n_samples:
             out[got:] = 0
+        return out
+
+    def read_block_packed_u8(self, n_samples: int,
+                             timeout: float = 2.0) -> np.ndarray | None:
+        """Blocking read of exactly n samples as packed (n, 2) uint8 wire
+        samples (rtl-sdr convention, ±1.0 ↔ 127.4±128) — a QUARTER of the
+        host→device bytes of complex64.  The right wire for 8-bit-native
+        SDRs (rtl-sdr) and for transports where the input stream is the
+        bandwidth bottleneck; the jit boundary converts to float on the
+        accelerator (runtime/chain.py _unpack_leaf)."""
+        out = self._pooled("u8", (n_samples, 2), np.uint8)
+        got = self._lib.iq_ring_read_u8(
+            self._ring, out.ctypes.data_as(ctypes.c_void_p), n_samples,
+            int(timeout * 1000))
+        if got == 0:
+            return None
+        if got < n_samples:
+            out[got:] = 127
         return out
 
     @property

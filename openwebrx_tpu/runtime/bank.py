@@ -120,20 +120,22 @@ class ChannelBank:
         self.chain.audio.noise_filter.set_threshold(self._nr)
 
     # ------------------------------------------------------------ stream --
-    def feed_dispatch(self, xdev):
+    def feed_dispatch(self, xdev, to_host: bool = True):
         """Feed one packed device chunk (device-block samples, shape
         (block, 2) float32, already on device).  Returns the program's
         pending outputs when a full bank block was dispatched, else None
-        (chunk buffered on-device until chunk_ratio chunks arrived)."""
+        (chunk buffered on-device until chunk_ratio chunks arrived).
+        to_host=False defers the device→host copy to the runtime's
+        cross-program join."""
         if self.chunk_ratio == 1:
-            return self.program.dispatch(xdev)
+            return self.program.dispatch(xdev, to_host=to_host)
         self._accum.append(xdev)
         if len(self._accum) < self.chunk_ratio:
             return None
         import jax.numpy as jnp
         x = jnp.concatenate(self._accum, axis=0)
         self._accum = []
-        return self.program.dispatch(x)
+        return self.program.dispatch(x, to_host=to_host)
 
     def process(self, iq_block):
         """iq_block (block,) complex64 → (audio (capacity, out_block), aux).

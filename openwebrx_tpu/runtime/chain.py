@@ -256,12 +256,15 @@ def _pack_leaf(v):
 
 
 def _unpack_leaf(v, was_complex: bool):
-    """Inside jit: packed (..., 2) float32 (or int16 wire samples, what SDR
-    connectors deliver — converted to ±1.0 float HERE so the host→device
-    transfer stays at 4 bytes/sample) → complex64."""
+    """Inside jit: packed (..., 2) float32 (or int16 / uint8 wire samples,
+    what SDR connectors deliver — converted to ±1.0 float HERE so the
+    host→device transfer stays at 4 (or 2) bytes/sample) → complex64.
+    uint8 uses the rtl-sdr convention (127.4 bias, ±128 full scale)."""
     if was_complex:
         if v.dtype == jnp.int16:
             v = v.astype(jnp.float32) * (1.0 / 32768.0)
+        elif v.dtype == jnp.uint8:
+            v = (v.astype(jnp.float32) - 127.4) * (1.0 / 128.0)
         return jax.lax.complex(v[..., 0], v[..., 1])
     return v
 
@@ -313,6 +316,9 @@ def host_as_complex64(block: np.ndarray) -> np.ndarray:
     if block.dtype == np.int16:
         f = block.astype(np.float32) * (1.0 / 32768.0)
         return f.view(np.complex64)[..., 0]
+    if block.dtype == np.uint8:
+        f = (block.astype(np.float32) - 127.4) * (1.0 / 128.0)
+        return np.ascontiguousarray(f).view(np.complex64)[..., 0]
     return np.ascontiguousarray(block, np.float32).view(np.complex64)[..., 0]
 
 
@@ -473,9 +479,11 @@ class Program:
         if self._in_complex:
             if getattr(x, "ndim", 0) >= 2 and x.shape[-1] == 2 \
                     and x.shape[-2] == self.block \
-                    and getattr(x, "dtype", None) in (np.float32, np.int16):
-                # already packed: float32 pairs, or int16 wire samples
-                # (converted to float on-device, half the transfer bytes)
+                    and getattr(x, "dtype", None) in (np.float32, np.int16,
+                                                      np.uint8):
+                # already packed: float32 pairs, or int16/uint8 wire
+                # samples (converted to float on-device — half / quarter
+                # the transfer bytes)
                 return x
             if x.shape[-1] != self.block:
                 raise ValueError(
@@ -490,22 +498,26 @@ class Program:
                 f"Program.block samples per call)")
         return x
 
-    def dispatch(self, x):
+    def dispatch(self, x, to_host: bool = True):
         """Dispatch one block WITHOUT fetching: returns (fused, None) where
         fused is the in-flight single int32 output buffer (all output
         leaves of the program fused on device — ONE device→host transfer
         per block; see fuse_plan).  Dispatch every program of a device
         first, then fetch() — JAX's async dispatch then overlaps the
-        device work and transfers instead of serializing round trips."""
+        device work and transfers instead of serializing round trips.
+        to_host=False skips starting the copy — for callers that join
+        several programs' buffers into one transfer (DeviceRuntime's
+        per-block cross-program join)."""
         self.state, fused = self._step(self.state, self._params(),
                                        self.pack_input(x))
         # start the device→host copy NOW: over a tunnel-attached TPU a
         # synchronous fetch is a serial RPC; initiating the copy async here
         # lets it stream back while the host does other work
-        try:
-            fused.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-            pass
+        if to_host:
+            try:
+                fused.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
         return fused, None
 
     def fetch(self, fused, _unused=None):

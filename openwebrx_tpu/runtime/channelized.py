@@ -284,7 +284,7 @@ class ChannelizedBank:
         self._params()
 
     # ------------------------------------------------------------- stream --
-    def feed_dispatch(self, xdev):
+    def feed_dispatch(self, xdev, to_host: bool = True):
         """Feed one packed device chunk (device-block samples, already on
         device).  Returns the pending fused output when a full bank block
         was dispatched, else None (chunks buffered on-device until
@@ -306,17 +306,18 @@ class ChannelizedBank:
             x = jnp.concatenate(self._accum, axis=0)
             self._accum = []
         if self.delivery_stride <= 1:
-            return self.dispatch(x)
+            return self.dispatch(x, to_host=to_host)
         fused, _ = self.dispatch(x, to_host=False)
         self._out_accum.append(fused)
         if len(self._out_accum) < self.delivery_stride:
             return None
         joined = jnp.concatenate(self._out_accum)
         self._out_accum = []
-        try:
-            joined.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-            pass
+        if to_host:
+            try:
+                joined.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
         return joined, self.delivery_stride
 
     def pack_input(self, iq_block: np.ndarray) -> np.ndarray:

@@ -1230,14 +1230,18 @@ class DeviceRuntime:
         # as-is — HALF the wire bytes — and become float on the device.
         want_fft = bool(self.waterfall_subscribers)
         if want_fft or banks:
-            if getattr(block, "dtype", None) == np.int16 and block.ndim == 2:
+            if getattr(block, "dtype", None) in (np.int16, np.uint8) \
+                    and block.ndim == 2:
+                # int16/uint8 wire samples go up as-is (half / quarter the
+                # bytes) and become float on the device (_unpack_leaf)
                 xdev = jax.device_put(np.ascontiguousarray(block))
             else:
                 xdev = jax.device_put(
                     host_pack_complex(np.ascontiguousarray(block)))
         # dispatch everything BEFORE fetching anything: JAX async dispatch
         # overlaps the programs' device work and result transfers
-        fft_pending = self.fft_program.dispatch(xdev) if want_fft else None
+        fft_pending = (self.fft_program.dispatch(xdev, to_host=False)
+                       if want_fft else None)
         # snapshot each bank's fetcher alongside its pending outputs: a
         # mode-switch rebuild between dispatch and complete must not make
         # complete() unpack with the NEW program's masks.  feed_dispatch
@@ -1245,8 +1249,40 @@ class DeviceRuntime:
         # device chunks toward its own larger block.  ChannelizedBank
         # ('pfb:' buckets) is its own fetcher; ChannelBank's is its Program.
         bank_pending = {bucket: (getattr(bank, "program", bank),
-                                 bank.feed_dispatch(xdev))
+                                 bank.feed_dispatch(xdev, to_host=False))
                         for bucket, bank in banks.items()}
+        # CROSS-PROGRAM JOIN (round 5): every program's fused int32 output
+        # buffer for this block concatenates ON DEVICE into one transfer —
+        # a device with waterfall + N mode banks pays ONE serialized
+        # device→host round trip per block instead of N+1 (each round trip
+        # is a ~30 ms floor on tunnel transports; measured ~2× on the
+        # waterfall+listener leg).  The eager concat executable is
+        # shape-cached by XLA across blocks.
+        segs = []                 # ("fft" | bucket, stride_n | None, words)
+        bufs = []
+        if fft_pending is not None:
+            segs.append(("fft", None, int(fft_pending[0].shape[0])))
+            bufs.append(fft_pending[0])
+        for bucket, (program, pend) in bank_pending.items():
+            if pend is None:
+                continue
+            n = pend[1] if isinstance(pend[1], int) else None
+            segs.append((bucket, n, int(pend[0].shape[0])))
+            bufs.append(pend[0])
+        joined = None
+        if len(bufs) == 1:
+            target = bufs[0]
+        elif bufs:
+            import jax.numpy as jnp
+            joined = jnp.concatenate(bufs)
+            target = joined
+        else:
+            target = None
+        if target is not None:
+            try:
+                target.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
         # secondaries fetch internally; they run while the banks are in
         # flight (and only on their own block cadence)
         if secondaries:
@@ -1257,7 +1293,8 @@ class DeviceRuntime:
                 except Exception:
                     logger.exception("secondary %s failed", sec.mode)
         return {"banks": banks, "handles": handles,
-                "fft_pending": fft_pending, "bank_pending": bank_pending}
+                "fft_pending": fft_pending, "bank_pending": bank_pending,
+                "joined": joined, "segs": segs}
 
     def _complete_block(self, pending: dict):
         banks = pending["banks"]
@@ -1265,11 +1302,24 @@ class DeviceRuntime:
         fft_pending = pending["fft_pending"]
         bank_pending = pending["bank_pending"]
 
+        # one fetch of the cross-program joined buffer, then host views
+        # per program (their fetch()/fetch_many() accept np arrays as-is)
+        seg_np: dict = {}
+        if pending.get("joined") is not None:
+            buf = np.asarray(pending["joined"])
+            from openwebrx_tpu.runtime.keepalive import TransportKeepalive
+            TransportKeepalive.note_fetch()
+            off = 0
+            for key, _n, words in pending["segs"]:
+                seg_np[key] = buf[off:off + words]
+                off += words
+
         # waterfall (shared per device, reference owrx/fft.py); rows are
         # compressed ONCE for all subscribers (reference: FftAdpcm inside
         # the shared FftChain)
         if fft_pending is not None:
-            rows, _ = self.fft_program.fetch(*fft_pending)
+            rows, _ = self.fft_program.fetch(
+                seg_np.get("fft", fft_pending[0]))
             rows_np = np.atleast_2d(np.asarray(rows))
             if self.fft_compression == "adpcm":
                 # rows arrive ADPCM-compressed from the device program
@@ -1288,12 +1338,13 @@ class DeviceRuntime:
             program, pend = bank_pending[bucket]
             if pend is None:      # accumulating bank: no results this block
                 continue
+            src = seg_np.get(bucket, pend[0])
             if isinstance(pend[1], int):
                 # delivery-stride batch (ChannelizedBank.feed_dispatch):
                 # one transfer carrying several bank blocks, in order
-                results = program.fetch_many(*pend)
+                results = program.fetch_many(src, pend[1])
             else:
-                results = [program.fetch(*pend)]
+                results = [program.fetch(src)]
             decoded = []
             for y, aux in results:
                 # ONE device→host transfer per bank (whole arrays), then

@@ -79,6 +79,20 @@ class TransportKeepalive:
             self._thread = threading.Thread(target=self._run,
                                             name="d2h-keepalive", daemon=True)
             self._thread.start()
+            # a daemon thread killed mid-RPC at interpreter exit can abort
+            # the transport client's C++ layer ("terminate called") — stop
+            # it cleanly first
+            if not getattr(self, "_atexit_registered", False):
+                self._atexit_registered = True
+                import atexit
+                atexit.register(self._shutdown)
+
+    def _shutdown(self):
+        self._stop.set()
+        t = self._thread
+        if t is not None:
+            t.join(timeout=1.0)
+            self._thread = None
 
     def release(self):
         with self._lock:

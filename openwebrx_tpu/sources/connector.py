@@ -120,18 +120,24 @@ class ConnectorSource(SdrSource):
                 time.sleep(0.25)
         else:
             raise ConnectionError(f"driver port {port} never came up: {last}")
-        # packed (n, 2) int16 wire samples halve the host→device transfer
-        # bytes (the jit boundary converts to float on the accelerator,
-        # runtime/chain.py _unpack_leaf) — LOSSLESS for s16/u8-native SDRs.
-        # f32 drivers (decimated output can exceed 16 effective bits) keep
-        # the full-precision float path unless the deployment explicitly
-        # opts in with iq_wire='s16' (ADVICE r3: don't silently quantize).
+        # packed (n, 2) int16 / uint8 wire samples halve / quarter the
+        # host→device transfer bytes (the jit boundary converts to float
+        # on the accelerator, runtime/chain.py _unpack_leaf) — LOSSLESS
+        # for s16/u8-native SDRs.  u8-native drivers (rtl-sdr) ride the
+        # 2-byte wire; f32 drivers (decimated output can exceed 16
+        # effective bits) keep the full-precision float path unless the
+        # deployment explicitly opts in with iq_wire='s16'/'u8'
+        # (ADVICE r3: don't silently quantize).
         wire_fmt = self.props.get("iq_format", "f32")
-        packed_ok = wire_fmt in ("s16", "u8") or \
-            self.props.get("iq_wire") == "s16"
+        iq_wire = self.props.get("iq_wire")
+        u8_ok = wire_fmt == "u8" or iq_wire == "u8"
+        packed_ok = wire_fmt in ("s16", "u8") or iq_wire == "s16"
         try:
             while not self._stop_requested:
-                if packed_ok:
+                if u8_ok:
+                    block = ingest.read_block_packed_u8(self.block_size,
+                                                        timeout=2.0)
+                elif packed_ok:
                     block = ingest.read_block_packed(self.block_size,
                                                      timeout=2.0)
                 else:

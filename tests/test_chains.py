@@ -194,3 +194,27 @@ class TestWaterfallChain:
         assert raw.shape[0] == len(ref)
         for i, expected in enumerate(ref):
             assert raw[i, :nb].tobytes() == expected
+
+
+def test_uint8_wire_input_matches_float_path():
+    """Packed (n,2) uint8 wire samples through a Program match the float
+    path within 8-bit quantization (the rtl-sdr wire; round 5)."""
+    import numpy as np
+    from openwebrx_tpu.models.selector import Selector
+    from openwebrx_tpu.ops.formats import Format, StreamSpec
+    from openwebrx_tpu.runtime.chain import Program, host_pack_complex
+
+    fs = 96000.0
+    sel = Selector(fs, 12000.0, with_squelch=False)
+    sel.set_frequency_offset(10000.0)
+    spec = StreamSpec(Format.COMPLEX_FLOAT, fs)
+    prog = Program(sel, spec, 9600)
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(9600) + 1j * rng.standard_normal(9600)) \
+        .astype(np.complex64) * 0.3
+    y_f, _ = Program(sel, spec, 9600).process(host_pack_complex(x))
+    packed = host_pack_complex(x)
+    u8 = np.clip(packed * 128.0 + 127.4, 0, 255).astype(np.uint8)
+    y_u, _ = prog.process(u8)
+    err = np.abs(np.asarray(y_u) - np.asarray(y_f))
+    assert float(err.max()) < 0.02       # 8-bit quantization, filtered

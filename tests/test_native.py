@@ -112,3 +112,21 @@ class TestNativeIngest:
         blk = ing.read_block(1000, timeout=5)
         np.testing.assert_array_equal(blk, iq)
         ing.close()
+
+
+def test_read_block_packed_u8_roundtrip():
+    """u8 wire read (rtl-sdr convention): ±1.0 ↔ 127.4±128, quarter the
+    host→device bytes (round 5)."""
+    r, w = os.pipe()
+    iq = (np.linspace(-1, 1, 256) + 1j * np.linspace(1, -1, 256)) \
+        .astype(np.complex64)
+    ing = native.IqIngest(1 << 16)
+    ing.start_fd(r)
+    os.write(w, iq.tobytes())
+    os.close(w)
+    blk = ing.read_block_packed_u8(256, timeout=5)
+    assert blk.shape == (256, 2) and blk.dtype == np.uint8
+    back = (blk.astype(np.float32) - 127.4) / 128.0
+    assert np.allclose(back[:, 0], iq.real, atol=1 / 128)
+    assert np.allclose(back[:, 1], iq.imag, atol=1 / 128)
+    ing.close()
