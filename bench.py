@@ -24,18 +24,33 @@ a network tunnel that would otherwise measure the tunnel, not the
 framework.  Configs #1–#4 DO stream host→device every block.  The
 ≥1000-channels-per-v5e-host BASELINE target is met on a single chip.
 
-Tunnel transport model (measured round 4, shapes every loop here):
-  * H2D ~430 MB/s, async enqueue.
-  * Each program RESULT retrieval costs a serialized ~25-30 ms round
-    trip in a continuous dispatch loop, independent of size (small) and
-    of pipeline depth — the per-block floor is one round trip.  Fusing
-    every output leaf of a program into ONE int32 buffer
-    (runtime/chain.py fuse_plan) and fusing co-scheduled chains into one
-    program (runtime/chain.py Fanout) each remove whole round trips per
-    block; both are production-path designs, not bench tricks.
+Tunnel transport model (measured rounds 4-5, shapes every loop here):
+  * ONE serialized bidirectional pipe: H2D ~0.4-1.5 GB/s warm, but
+    sustained throughput swings 2-3× on ~10-minute weather cycles; each
+    leg therefore measures 3 consecutive windows and reports the MEDIAN
+    (all windows recorded — no best-of-N selection).
+  * Each RESULT retrieval costs a serialized round trip; worse, the
+    D2H stream COLD-STARTS after a few hundred ms of fetch idleness
+    (first fetch 0.2-3 s vs 17 ms back-to-back — round 5).  Production
+    countermeasures, all in the runtime and not bench tricks: per-program
+    output fusion (fuse_plan), the per-block CROSS-PROGRAM join
+    (DeviceRuntime._dispatch_block: waterfall + all banks = one
+    transfer), service delivery batching (ChannelizedBank
+    delivery_stride), and the idle-gated D2H keepalive
+    (runtime/keepalive.py).
+  * Input bytes are the other half of the budget: wire samples go up as
+    int16 (SDR-native) or uint8 (rtl-sdr convention) and become float on
+    the device (runtime/chain.py _unpack_leaf) — 2-4× fewer bytes than
+    float32 pairs.  The 8.192 MS/s legs ride the u8 wire.
   * A synchronous np.asarray on a result whose async copy has not been
     initiated can fall into a pathological KB/s path — dispatch()
     always issues copy_to_host_async.
+  * Squelch-gated delivery (skipping closed channels' audio bytes) was
+    considered and rejected: XLA programs have static shapes, so a
+    data-dependent result size would force a host round trip to learn
+    the open set first — costing the round trip it tries to save.  The
+    ADPCM wire (4 bit/sample) and delivery batching are the effective
+    byte reducers.
 
 Config #5 roofline (per 2.4576 Ms block = 50 ms of signal; ablated on
 the v5 lite chip, round 4): PFB ≈ 1.5 ms (was 3.95 before the
