@@ -167,9 +167,13 @@ def conv_encode(bits: np.ndarray) -> np.ndarray:
     return out
 
 
-def viterbi_decode(symbols: np.ndarray, n_bits: int) -> np.ndarray:
+def viterbi_decode(symbols: np.ndarray, n_bits: int,
+                   erasures: np.ndarray | None = None) -> np.ndarray:
     """Hard-decision Viterbi over (n,2) received dibits → n_bits decoded
-    bits (the encoder's zero tail is decoded too; caller slices)."""
+    bits (the encoder's zero tail is decoded too; caller slices).
+
+    ``erasures`` (n,2) bool marks PUNCTURED positions (M17 P1/P2 rate
+    matching): erased bits contribute zero branch cost."""
     symbols = np.asarray(symbols, np.uint8)
     n = len(symbols)
     NSTATES = 16
@@ -187,12 +191,16 @@ def viterbi_decode(symbols: np.ndarray, n_bits: int) -> np.ndarray:
         new = np.full(NSTATES, 1 << 30, np.int64)
         prev = np.zeros(NSTATES, np.uint8)
         r = symbols[i]
+        e0 = e1 = False
+        if erasures is not None:
+            e0, e1 = bool(erasures[i, 0]), bool(erasures[i, 1])
         for s in range(NSTATES):
             if metrics[s] >= (1 << 30):
                 continue
             for b in range(2):
                 ns = ((s << 1) | b) & 0xF
-                cost = int(out0[s, b, 0] ^ r[0]) + int(out0[s, b, 1] ^ r[1])
+                cost = (0 if e0 else int(out0[s, b, 0] ^ r[0])) + \
+                       (0 if e1 else int(out0[s, b, 1] ^ r[1]))
                 m = metrics[s] + cost
                 if m < new[ns]:
                     new[ns] = m

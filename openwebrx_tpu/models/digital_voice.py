@@ -94,6 +94,10 @@ DV_FACTORY = {
     "ysf": lambda in_rate: DvSymbolChain(in_rate, 4800.0, 0.2, 6250.0, name="ysf"),
     "dstar": lambda in_rate: DvSymbolChain(in_rate, 4800.0, 0.5, 3250.0, name="dstar"),
     "nxdn": lambda in_rate: DvSymbolChain(in_rate, 2400.0, 0.2, 3250.0, name="nxdn"),
+    # M17 (spec §3): 4800 sym/s 4FSK, RRC α=0.5, 9 kHz channel — the
+    # symbol path feeds the NATIVE link layer (digimodes/m17.py) for
+    # metadata; audio stays with m17-demod (ExecAudioHandle)
+    "m17": lambda in_rate: DvSymbolChain(in_rate, 4800.0, 0.5, 4500.0, name="m17"),
 }
 
 # mode → (decoder command, mbe mode arg) — digiham binaries; {meta_fd} is

@@ -428,6 +428,49 @@ class IqServiceHandle:
                 self.iq_cb(iq.astype(np.complex64).tobytes())
 
 
+class M17MetaTap:
+    """Native M17 link-layer metadata running NEXT TO the external audio
+    decoder (round 5): device IQ → DvSymbolChain dibits →
+    digimodes/m17.M17Decoder (LSF/LICH) → meta callback — src/dest
+    callsigns and CAN reach the MetaPanel even when m17-demod is absent
+    (the reference has no metadata at all without the binary,
+    csdr/chain/m17.py)."""
+
+    mode = "m17meta"
+
+    def __init__(self, runtime: "DeviceRuntime", offset_hz: float, meta_cb):
+        from openwebrx_tpu.digimodes.m17 import M17Decoder
+        from openwebrx_tpu.models.digital_voice import DV_FACTORY
+        from openwebrx_tpu.models.stages import plan_block_size as _pbs
+        from openwebrx_tpu.ops.formats import Format as _F, StreamSpec as _S
+        self.runtime = runtime
+        self.chain = DV_FACTORY["m17"](runtime.in_rate)
+        self.chain.set_frequency_offset(offset_hz)
+        spec = _S(_F.COMPLEX_FLOAT, runtime.in_rate)
+        self.block = _pbs(self.chain, spec, 0.1)
+        self.program = Program(self.chain, spec, self.block)
+        self._pending: list[np.ndarray] = []
+        self._pending_len = 0
+        self.decoder = M17Decoder(meta_cb)
+
+    def set_offset(self, offset_hz: float):
+        self.chain.set_frequency_offset(offset_hz)
+
+    def feed(self, block: np.ndarray):
+        self._pending.append(block)
+        self._pending_len += len(block)
+        while self._pending_len >= self.block:
+            buf = np.concatenate(self._pending)
+            chunk, rest = buf[: self.block], buf[self.block:]
+            self._pending = [rest] if len(rest) else []
+            self._pending_len = len(rest)
+            dibits, _ = self.program.process(chunk)
+            try:
+                self.decoder.feed(np.asarray(dibits).astype(np.uint8))
+            except Exception:
+                logger.exception("m17 frame decode failed")
+
+
 class ExecAudioHandle:
     """A listener mode decoded by an external binary: complex IF from an
     IqServiceHandle → subprocess → s16 audio back to the client.
@@ -488,6 +531,14 @@ class ExecAudioHandle:
                 self.iq.iq_cb = self._hdr.feed
                 return
         self.iq = runtime.open_iq_channel(if_rate, offset_hz, wire)
+        if mode == "m17":
+            # native link-layer metadata regardless of the binary
+            from openwebrx_tpu.services.meta import MetaParser
+            self._m17_meta = MetaParser(self._on_meta)
+            self._m17_tap = M17MetaTap(runtime, offset_hz,
+                                       self._m17_meta.process)
+            with runtime._lock:
+                runtime.secondary_handles.append(self._m17_tap)
         commandline = list(command_override or cmd(if_rate))
         on_stderr = None
         if meta_kind == "drm_socket":
@@ -531,6 +582,9 @@ class ExecAudioHandle:
         afc = getattr(self, "_afc", None)
         if afc is not None:
             afc.reset()
+        tap = getattr(self, "_m17_tap", None)
+        if tap is not None:
+            tap.set_offset(offset_hz)
         self.iq.set_offset(offset_hz)
 
     def close(self):
@@ -542,6 +596,9 @@ class ExecAudioHandle:
                 except OSError:
                     pass
         self.runtime.release_secondary(self.iq)
+        tap = getattr(self, "_m17_tap", None)
+        if tap is not None:
+            self.runtime.release_secondary(tap)
         if self._hdr is not None:
             self._hdr.close()
         if self.pipeline is not None:

@@ -86,5 +86,5 @@ class TestDvChain:
         assert agree > 0.95, f"symbol agreement {agree:.3f}"
 
     def test_chain_modes_present(self):
-        assert set(DV_FACTORY) == {"dmr", "ysf", "dstar", "nxdn"}
+        assert set(DV_FACTORY) == {"dmr", "ysf", "dstar", "nxdn", "m17"}
         assert isinstance(DV_FACTORY["ysf"](FS), DvSymbolChain)
