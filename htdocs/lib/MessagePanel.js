@@ -28,7 +28,15 @@ class TablePanel {
     this.title = title;
     this.columns = columns;                  /* [{key, label, fmt?}] */
     this.maxRows = 100;
+    this.maxAgeMs = 15 * 60 * 1000;          /* reference clear timer */
     this.root = el("div", {class: "msg-panel"});
+    /* header: title + clear (reference MessagePanel initClearButton) */
+    const head = el("div", {class: "msg-head"});
+    head.appendChild(el("span", {class: "msg-title"}, title));
+    const clearBtn = el("button", {class: "msg-clear"}, "clear");
+    clearBtn.onclick = () => this.clear();
+    head.appendChild(clearBtn);
+    this.root.appendChild(head);
     this.table = el("table", {class: "msg-table"});
     const hr = el("tr");
     hr.appendChild(el("th", {}, "UTC"));
@@ -37,6 +45,14 @@ class TablePanel {
     this.body = el("tbody");
     this.table.appendChild(this.body);
     this.root.appendChild(this.table);
+    /* age-out sweep (reference initClearTimer): drop rows older than
+       maxAgeMs so a panel left open overnight doesn't hold the DOM */
+    this._sweep = setInterval(() => {
+      const cutoff = Date.now() - this.maxAgeMs;
+      while (this.body.firstChild &&
+             +(this.body.firstChild.dataset.ts || 0) < cutoff)
+        this.body.removeChild(this.body.firstChild);
+    }, 60000);
   }
   cellText(ev, c) {
     let v = ev[c.key];
@@ -46,6 +62,7 @@ class TablePanel {
   }
   add(ev) {
     const tr = el("tr");
+    tr.dataset.ts = String(Date.now());
     tr.appendChild(el("td", {}, utcNow()));
     for (const c of this.columns) {
       const td = el("td", {}, this.cellText(ev, c));
