@@ -658,6 +658,11 @@ def bench_config5():
 
 
 def main():
+    # hold the D2H keepalive across the WHOLE run: the gaps between legs
+    # (compiles, setup) otherwise cold-start the transport for each leg's
+    # first window (runtime/keepalive.py)
+    from openwebrx_tpu.runtime.keepalive import TransportKeepalive
+    TransportKeepalive.shared().acquire()
     msps5, msps5_fetched = bench_config5()
     configs = []
     for fn in (bench_config1, bench_config2, bench_config3, bench_config4,

@@ -171,3 +171,89 @@ class TestInteractivePfb:
             assert float(bank._low[h.slot]) == -3000.0
         finally:
             src.stop()
+
+
+class TestCrossProgramJoin:
+    """The per-block cross-program join (round 5): waterfall + banks fuse
+    into ONE device→host transfer; bank membership may change between
+    dispatch and complete."""
+
+    def test_waterfall_and_banks_share_one_transfer(self):
+        rt, src = _make_runtime(
+            [{"kind": "usb", "offset_hz": 48_500.0, "f_audio": 1000.0,
+              "amplitude": 0.4}])
+        rows, frames = [], []
+        rt.subscribe_waterfall(lambda p: rows.append(len(p)))
+        h = rt.open_channel("usb", 48_500.0)
+        h.audio_cb = lambda wire, hd=False: frames.append(wire)
+        try:
+            src.start()
+            b = src.read_block(timeout=5.0)
+            pend = rt._dispatch_block(b)
+            # two programs (fft + pfbi bank) joined into one buffer
+            assert pend["joined"] is not None
+            assert len(pend["segs"]) == 2
+            keys = [s[0] for s in pend["segs"]]
+            assert "fft" in keys and "pfbi:ssb" in keys
+            rt._complete_block(pend)
+            assert rows and frames
+        finally:
+            src.stop()
+        pcm = decode_wire(frames)
+        assert len(pcm) > 0
+
+    def test_single_program_skips_join(self):
+        rt, src = _make_runtime([])
+        h = rt.open_channel("usb", 48_500.0)
+        h.audio_cb = lambda wire, hd=False: None
+        try:
+            src.start()
+            pend = rt._dispatch_block(src.read_block(timeout=5.0))
+            assert pend["joined"] is None          # one program: no concat
+            rt._complete_block(pend)
+        finally:
+            src.stop()
+
+    def test_bank_added_between_dispatch_and_complete(self):
+        """A listener opening mid-block must not corrupt the in-flight
+        completion (snapshot semantics)."""
+        rt, src = _make_runtime(
+            [{"kind": "usb", "offset_hz": 48_500.0, "f_audio": 900.0,
+              "amplitude": 0.4}])
+        got = {"a": 0, "b": 0}
+        a = rt.open_channel("usb", 48_500.0)
+        a.audio_cb = lambda w, hd=False: got.__setitem__("a", got["a"] + 1)
+        try:
+            src.start()
+            pend = rt._dispatch_block(src.read_block(timeout=5.0))
+            # new AM bank appears while the block is in flight
+            b = rt.open_channel("am", -96_000.0)
+            b.audio_cb = lambda w, hd=False: got.__setitem__("b", got["b"] + 1)
+            rt._complete_block(pend)               # old snapshot: only a
+            assert got["a"] == 1 and got["b"] == 0
+            rt._process_block(src.read_block(timeout=5.0))
+            assert got["a"] == 2 and got["b"] == 1
+        finally:
+            src.stop()
+
+    def test_uint8_wire_block_through_runtime(self):
+        """A packed (n,2) uint8 device block (rtl-sdr wire) decodes the
+        same tone as the float path (round 5)."""
+        rt, src = _make_runtime(
+            [{"kind": "usb", "offset_hz": 48_500.0, "f_audio": 1000.0,
+              "amplitude": 0.4}])
+        frames = []
+        h = rt.open_channel("usb", 48_500.0)
+        h.audio_cb = lambda wire, hd=False: frames.append(wire)
+        try:
+            src.start()
+            for _ in range(6):
+                blk = src.read_block(timeout=5.0)      # complex64
+                packed = np.stack([blk.real, blk.imag], axis=-1)
+                u8 = np.clip(packed * 128.0 + 127.4, 0, 255).astype(np.uint8)
+                rt._process_block(u8)
+        finally:
+            src.stop()
+        pcm = decode_wire(frames)
+        assert len(pcm) >= 3000
+        assert tone_power_ratio(pcm[1200:], 1000.0) > -6.0
