@@ -52,17 +52,18 @@ Tunnel transport model (measured rounds 4-5, shapes every loop here):
     ADPCM wire (4 bit/sample) and delivery batching are the effective
     byte reducers.
 
-Config #5 roofline (per 2.4576 Ms block = 50 ms of signal; ablated on
-the v5 lite chip, round 4): PFB ≈ 1.5 ms (was 3.95 before the
-phase-reversal rewrite removed the commutator's lane reversal +
-transpose), stride-parallel ADPCM ≈ 0.9 ms (was 5.9 before the one-hot
-MXU table lookups), per-channel chains ≈ 1.6 ms → ~4 ms/block, 12.5×
-real-time.  Arithmetic is trivial (~0.4 GFLOP/block → <1% MXU); the
-program is memory/issue-bound: the PFB's HBM traffic (input 19.7 MB +
-conv + 2400×1024-pt fp32 FFT ≈ 160 MB/block) has a ~0.2 ms
-bandwidth-bound floor, so the remaining gap is XLA's fp32 FFT and the
-sequential ADPCM scan's issue overhead — further headroom is a fused
-Pallas fold+FFT and a wider-stride codec, not more FLOPs.
+Config #5 roofline (per 2.4576 Ms block = 50 ms of signal; re-ablated on
+the v5 lite chip, round 5): total ≈ 2.6 ms/block ≈ 19× real-time.
+Breakdown: polyphase fold (depthwise conv) ≈ 0.7 ms, 1024-pt fp32 FFT +
+twiddle + transpose ≈ 0.3 ms, per-channel chains ≈ 1.3 ms, ADPCM ≈
+0.3 ms.  Arithmetic is trivial (~0.5 GFLOP/block → <1% MXU); every piece
+is HBM/layout-bound.  A hand-written Pallas fold was built and measured
+(round 5): the kernel alone runs 0.8 ms — NOT faster than XLA's conv —
+and the packed↔planar boundary passes it needs add more; the
+phase-reversal conv design is already at the achievable floor, so the
+XLA path stays.  Remaining headroom would need a fused fold+FFT+chain
+megakernel with an in-VMEM FFT — out of proportion to the ~30% it could
+return on an already 19×-real-time figure.
 """
 
 import json
@@ -536,7 +537,8 @@ def bench_config6():
     churn = {"retunes": 0, "migrations": 0}
     try:
         ka = _keepalive(); ka.__enter__()
-        for _ in range(WARMUP + 6):    # extra: first-window ramp measured
+        for _ in range(WARMUP + 22):   # long warm-in measured: the leg
+            # sustains ~2x only after ~25 blocks (transport + allocator ramp)
             runtime._process_block(source.read_block(timeout=10.0))
         windows = []
         depth = 3
