@@ -88,7 +88,14 @@ class Bookmarks:
             selected = None
         if not selected:
             return
-        names = self.available_packs() if selected == "all" else selected
+        if selected == "all":
+            names = self.available_packs()
+        elif isinstance(selected, str):
+            # a bare pack name (string instead of list) — don't iterate
+            # its characters
+            names = [selected]
+        else:
+            names = selected
         for name in names:
             p = os.path.join(_packs_dir(), f"{os.path.basename(name)}.json")
             try:

@@ -230,23 +230,28 @@ class DmrDecoder:
         self._buf = buf[pos:]
 
     def _find_sync(self, buf: np.ndarray, pos: int):
-        """First dibit index ≥ pos+54 where a sync pattern matches within
-        tolerance (vectorized over all 4 patterns)."""
+        """EARLIEST dibit index ≥ pos+54 where any of the 4 sync patterns
+        matches within tolerance.  Earliest-by-position across patterns
+        matters: scanning pattern-by-pattern would let a later voice sync
+        shadow an earlier data burst in the same chunk, dropping its LC."""
         lo = pos + HALF_PAYLOAD_DIBITS
         hi = len(buf) - SYNC_DIBITS - 10
         if hi <= lo:
             return None
         windows = np.lib.stride_tricks.sliding_window_view(
             buf[lo:hi + SYNC_DIBITS], SYNC_DIBITS)
+        best = None
         for pattern, (station, kind) in SYNC_PATTERNS.items():
             pd = _SYNC_DIBITS[pattern]
             # bit distance between dibits = popcount of 2-bit xor
             x = windows ^ pd
             dist = ((x & 1) + (x >> 1)).sum(axis=1)
             ok = np.flatnonzero(dist <= self.SYNC_TOLERANCE)
-            if len(ok):
-                return lo + int(ok[0]), station, kind
-        return None
+            if len(ok) and (best is None or int(ok[0]) < best[0]):
+                best = (int(ok[0]), station, kind)
+        if best is None:
+            return None
+        return lo + best[0], best[1], best[2]
 
     def _burst(self, burst: np.ndarray, station: str, kind: str):
         bits = dibits_to_bits(burst)            # 264
@@ -269,7 +274,12 @@ class DmrDecoder:
                 return
             lc = decode_lc(info, data_type)
             if lc is not None:
-                lc["slot"] = data_type
+                # NOT "slot": the frontend parses meta.slot as the numeric
+                # TDMA timeslot (MetaPanel.js); the burst's data type is a
+                # different fact.  The TDMA slot needs CACH TACT decoding,
+                # which single-frequency captures don't carry reliably —
+                # omitted rather than guessed.
+                lc["frame_type"] = data_type
                 lc["color_code"] = self.color_code
                 if data_type == "terminator_with_lc":
                     lc["end"] = True

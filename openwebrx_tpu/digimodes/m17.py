@@ -256,18 +256,24 @@ class M17Decoder:
         return events
 
     def _find_sync(self, buf: np.ndarray, pos: int):
+        """Earliest sync BY POSITION across both patterns (a later LSF
+        must not shadow earlier stream frames in the same chunk — their
+        LICH fragments would be lost)."""
         hi = len(buf) - SYNC_DIBITS
         if hi <= pos:
             return None
         windows = np.lib.stride_tricks.sliding_window_view(
             buf[pos:], SYNC_DIBITS)
+        best = None
         for pat, kind in ((_LSF_SYNC, "lsf"), (_STREAM_SYNC, "stream")):
             x = windows ^ pat
             dist = ((x & 1) + (x >> 1)).sum(axis=1)
             ok = np.flatnonzero(dist <= self.SYNC_TOLERANCE)
-            if len(ok):
-                return pos + int(ok[0]), kind
-        return None
+            if len(ok) and (best is None or int(ok[0]) < best[0]):
+                best = (int(ok[0]), kind)
+        if best is None:
+            return None
+        return pos + best[0], best[1]
 
     def _frame(self, payload_dibits: np.ndarray, kind: str, emit):
         bits = np.empty(PAYLOAD_BITS, np.uint8)

@@ -118,12 +118,13 @@ class IqIngest:
             buf = np.zeros(shape, dtype)        # zeros → faulted now
             pool.append(buf)
             return buf
-        buf = pool[self._pool_idx.get(key, 0) % self._POOL]
-        self._pool_idx[key] = self._pool_idx.get(key, 0) + 1
-        if buf.shape != shape:                  # block size changed
-            buf = np.zeros(shape, dtype)
-            pool[self._pool_idx[key] % self._POOL] = buf
-        return buf
+        idx = self._pool_idx.get(key, 0) % self._POOL
+        self._pool_idx[key] = idx + 1
+        buf = pool[idx]
+        if buf.shape != shape:                  # block size changed:
+            buf = np.zeros(shape, dtype)        # repair THIS slot (the
+            pool[idx] = buf                     # one just read), so the
+        return buf                              # rotation stays distinct
 
     def read_block(self, n_samples: int, timeout: float = 2.0) -> np.ndarray | None:
         """Blocking read of exactly n complex64 samples (None on timeout/EOF

@@ -430,33 +430,35 @@ class IqServiceHandle:
 
 class M17MetaTap:
     """Native M17 link-layer metadata running NEXT TO the external audio
-    decoder (round 5): device IQ → DvSymbolChain dibits →
-    digimodes/m17.M17Decoder (LSF/LICH) → meta callback — src/dest
-    callsigns and CAN reach the MetaPanel even when m17-demod is absent
-    (the reference has no metadata at all without the binary,
-    csdr/chain/m17.py)."""
+    decoder (round 5): the listener's EXISTING 48 kHz IQ channel output →
+    DvSymbolChain (at IF rate — no second full-rate downconversion per
+    listener) → digimodes/m17.M17Decoder (LSF/LICH) → meta callback —
+    src/dest callsigns and CAN reach the MetaPanel even when m17-demod is
+    absent (the reference has no metadata at all without the binary,
+    csdr/chain/m17.py).  Consumes the same cs16 wire bytes the subprocess
+    gets (feed_cs16)."""
 
     mode = "m17meta"
+    IF_RATE = 48000.0
 
-    def __init__(self, runtime: "DeviceRuntime", offset_hz: float, meta_cb):
+    def __init__(self, meta_cb):
         from openwebrx_tpu.digimodes.m17 import M17Decoder
         from openwebrx_tpu.models.digital_voice import DV_FACTORY
         from openwebrx_tpu.models.stages import plan_block_size as _pbs
         from openwebrx_tpu.ops.formats import Format as _F, StreamSpec as _S
-        self.runtime = runtime
-        self.chain = DV_FACTORY["m17"](runtime.in_rate)
-        self.chain.set_frequency_offset(offset_hz)
-        spec = _S(_F.COMPLEX_FLOAT, runtime.in_rate)
+        self.chain = DV_FACTORY["m17"](self.IF_RATE)
+        spec = _S(_F.COMPLEX_FLOAT, self.IF_RATE)
         self.block = _pbs(self.chain, spec, 0.1)
         self.program = Program(self.chain, spec, self.block)
         self._pending: list[np.ndarray] = []
         self._pending_len = 0
         self.decoder = M17Decoder(meta_cb)
 
-    def set_offset(self, offset_hz: float):
-        self.chain.set_frequency_offset(offset_hz)
-
-    def feed(self, block: np.ndarray):
+    def feed_cs16(self, data: bytes):
+        """Interleaved int16 IQ at the 48 kHz IF (the wire format the
+        external decoder consumes)."""
+        s = np.frombuffer(data, np.int16).astype(np.float32) / 32767.0
+        block = (s[0::2] + 1j * s[1::2]).astype(np.complex64)
         self._pending.append(block)
         self._pending_len += len(block)
         while self._pending_len >= self.block:
@@ -532,13 +534,12 @@ class ExecAudioHandle:
                 return
         self.iq = runtime.open_iq_channel(if_rate, offset_hz, wire)
         if mode == "m17":
-            # native link-layer metadata regardless of the binary
+            # native link-layer metadata regardless of the binary — fed
+            # the SAME cs16 IF stream as the subprocess (no second
+            # full-rate program per listener)
             from openwebrx_tpu.services.meta import MetaParser
             self._m17_meta = MetaParser(self._on_meta)
-            self._m17_tap = M17MetaTap(runtime, offset_hz,
-                                       self._m17_meta.process)
-            with runtime._lock:
-                runtime.secondary_handles.append(self._m17_tap)
+            self._m17_tap = M17MetaTap(self._m17_meta.process)
         commandline = list(command_override or cmd(if_rate))
         on_stderr = None
         if meta_kind == "drm_socket":
@@ -562,7 +563,19 @@ class ExecAudioHandle:
         self.pipeline = SubprocessPipeline(
             commandline, self._on_audio_bytes, line_based=False,
             on_stderr_line=on_stderr)
-        self.iq.iq_cb = self.pipeline.feed
+        tap = getattr(self, "_m17_tap", None)
+        if tap is not None:
+            feed_pipe = self.pipeline.feed
+
+            def _feed_both(data: bytes):
+                feed_pipe(data)
+                try:
+                    tap.feed_cs16(data)
+                except Exception:
+                    logger.exception("m17 meta tap failed")
+            self.iq.iq_cb = _feed_both
+        else:
+            self.iq.iq_cb = self.pipeline.feed
 
     def _on_audio_bytes(self, data: bytes):
         if self.audio_cb is not None:
@@ -582,9 +595,6 @@ class ExecAudioHandle:
         afc = getattr(self, "_afc", None)
         if afc is not None:
             afc.reset()
-        tap = getattr(self, "_m17_tap", None)
-        if tap is not None:
-            tap.set_offset(offset_hz)
         self.iq.set_offset(offset_hz)
 
     def close(self):
@@ -596,9 +606,6 @@ class ExecAudioHandle:
                 except OSError:
                     pass
         self.runtime.release_secondary(self.iq)
-        tap = getattr(self, "_m17_tap", None)
-        if tap is not None:
-            self.runtime.release_secondary(tap)
         if self._hdr is not None:
             self._hdr.close()
         if self.pipeline is not None:

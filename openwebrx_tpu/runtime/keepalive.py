@@ -60,6 +60,10 @@ class TransportKeepalive:
         self.period_s = float(period_s)
         self.idle_s = float(idle_s)
         self._refs = 0
+        # per-thread stop event: release() may fire while the old thread
+        # is blocked inside a multi-second transport RPC — a SHARED event
+        # cleared by the next acquire() would let that thread survive and
+        # leak a duplicate heartbeat (round-5 review finding)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -75,8 +79,9 @@ class TransportKeepalive:
                     return                      # directly attached — no-op
             except Exception:
                 return
-            self._stop.clear()
+            self._stop = threading.Event()      # fresh event per thread
             self._thread = threading.Thread(target=self._run,
+                                            args=(self._stop,),
                                             name="d2h-keepalive", daemon=True)
             self._thread.start()
             # a daemon thread killed mid-RPC at interpreter exit can abort
@@ -101,7 +106,7 @@ class TransportKeepalive:
                 self._stop.set()
                 self._thread = None
 
-    def _run(self):
+    def _run(self, stop: threading.Event):
         try:
             import time
             import jax
@@ -109,7 +114,6 @@ class TransportKeepalive:
             import numpy as np
             inc = jax.jit(lambda x: x + 1)
             token = jnp.zeros((1,), jnp.int32)
-            stop = self._stop
             while not stop.wait(self.period_s):
                 if time.monotonic() - type(self)._last_fetch < self.idle_s:
                     continue          # real fetches are keeping it warm

@@ -157,19 +157,20 @@ HEADER_RE = re.compile(
     r"-(?P<jjjhhmm>\d{7})-(?P<sender>[\w./ ]+?)-?$")
 
 
-_BUILTIN_DB: dict[str, str] | None = None
+_BUILTIN_DB: dict[str, dict[str, str]] = {}
 
 
 def builtin_county_db(country: str = "US") -> dict[str, str]:
     """Built-in SAME location names from the gzipped data pack (lazy;
-    ~120 KB decompressed).  Keys are the 5-digit SSCCC."""
-    global _BUILTIN_DB
-    if _BUILTIN_DB is None:
+    ~120 KB decompressed).  Keys are the 5-digit SSCCC; the cache is
+    keyed per country (US / CA ship in the pack)."""
+    db = _BUILTIN_DB.get(country)
+    if db is None:
         import gzip
         import os
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "..", "data", "same_counties.txt.gz")
-        db: dict[str, str] = {}
+        db = {}
         try:
             with gzip.open(path, "rt", encoding="utf-8") as f:
                 for line in f:
@@ -181,8 +182,8 @@ def builtin_county_db(country: str = "US") -> dict[str, str]:
                         db[ss + ccc] = name
         except OSError:
             pass
-        _BUILTIN_DB = db
-    return _BUILTIN_DB
+        _BUILTIN_DB[country] = db
+    return db
 
 
 def load_county_db(path: str) -> dict[str, str]:

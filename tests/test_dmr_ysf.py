@@ -235,3 +235,24 @@ class TestEndToEnd:
         assert lcs, f"no native LC metadata: {metas}"
         assert lcs[0]["target"] == 91
         assert lcs[0]["source"] == 3100123
+
+
+class TestSyncOrdering:
+    def test_data_burst_before_voice_burst_in_one_chunk(self):
+        """Round-5 review regression: a voice-sync later in the chunk must
+        not shadow an earlier data burst — earliest sync BY POSITION wins
+        across patterns, or voice LC headers get dropped in normal
+        interleaved streams."""
+        info = dmr.encode_lc(flco=0, fid=0, opts=0, dest=77, src=1111111,
+                             data_type="voice_lc_header")
+        data_burst = dmr.build_burst("voice_lc_header", info)
+        # a fake voice burst: BS voice sync surrounded by noise payload
+        voice_sync = dmr._SYNC_DIBITS[0x755FD7DF75F7]
+        nb = rng.integers(0, 4, 54).astype(np.uint8)
+        voice_burst = np.concatenate([nb, voice_sync, nb])
+        stream = np.concatenate([np.zeros(60, np.uint8), data_burst,
+                                 voice_burst, np.zeros(30, np.uint8)])
+        events = dmr.DmrDecoder().feed(stream)     # ONE chunk
+        lcs = [e for e in events if e.get("target") == 77]
+        assert lcs, f"data burst shadowed by later voice sync: {events}"
+        assert lcs[0]["frame_type"] == "voice_lc_header"

@@ -101,27 +101,30 @@ class TestStream:
 
 class TestEndToEnd:
     def test_native_m17_metadata_from_c4fm_iq(self):
-        """C4FM IQ of an LSF frame → TPU symbol chain → native M17 link
-        layer → callsign metadata (M17MetaTap, the path ExecAudioHandle
-        runs next to m17-demod)."""
+        """C4FM IQ of an LSF frame at the 48 kHz IF → cs16 wire bytes →
+        TPU symbol chain → native M17 link layer → callsign metadata
+        (M17MetaTap consumes the SAME cs16 stream the external decoder
+        gets — no second full-rate program per listener)."""
         import sys
-        import threading
-        import types
         sys.path.insert(0, "tests")
-        from test_digital_voice import FS, c4fm_waveform
+        from test_digital_voice import c4fm_waveform
         from openwebrx_tpu.runtime.device import M17MetaTap
 
         frame = m17.build_lsf_frame("N0CALL", "SP5WWP")
         idle = rng.integers(0, 4, 150).astype(np.uint8)
         stream = np.concatenate([idle, frame, frame, frame, idle])
-        x = c4fm_waveform(stream, baud=4800.0, dev_hz=800.0, rrc_alpha=0.5)
+        x = c4fm_waveform(stream, baud=4800.0, dev_hz=800.0,
+                          fs=M17MetaTap.IF_RATE, rrc_alpha=0.5)
 
-        runtime = types.SimpleNamespace(in_rate=FS)
         metas = []
-        tap = M17MetaTap(runtime, 0.0, metas.append)
-        n = len(x) // tap.block
-        for blk in np.split(x[: n * tap.block], n):
-            tap.feed(blk)
+        tap = M17MetaTap(metas.append)
+        interleaved = np.empty(2 * len(x), np.int16)
+        interleaved[0::2] = np.clip(x.real * 32767, -32768, 32767)
+        interleaved[1::2] = np.clip(x.imag * 32767, -32768, 32767)
+        wire = interleaved.tobytes()
+        step = 4096 * 4
+        for i in range(0, len(wire), step):
+            tap.feed_cs16(wire[i:i + step])
         lsfs = [m for m in metas if m.get("source")]
         assert lsfs, f"no LSF decoded: {metas}"
         assert lsfs[0]["source"] == "SP5WWP"

@@ -130,3 +130,27 @@ def test_read_block_packed_u8_roundtrip():
     assert np.allclose(back[:, 0], iq.real, atol=1 / 128)
     assert np.allclose(back[:, 1], iq.imag, atol=1 / 128)
     ing.close()
+
+
+def test_pooled_buffer_rotation_distinct_after_shape_change():
+    """Round-5 review regression: after a block-size change the pool must
+    keep returning DISTINCT buffers (replacing the wrong slot made two
+    consecutive reads alias one ndarray — corrupting in-flight blocks)."""
+    r, w = os.pipe()
+    ing = native.IqIngest(1 << 18)
+    ing.set_blocking(True)
+    ing.start_fd(r)
+    data = np.zeros(40000, np.complex64).tobytes()
+    os.write(w, data)
+    # fill the pool at one size, then switch sizes
+    for _ in range(10):
+        assert ing.read_block_packed(1000, timeout=2) is not None
+    seen = []
+    for _ in range(10):
+        b = ing.read_block_packed(1500, timeout=2)
+        assert b is not None and b.shape == (1500, 2)
+        seen.append(id(b))
+    # consecutive reads never return the same buffer object
+    assert all(seen[i] != seen[i + 1] for i in range(len(seen) - 1))
+    os.close(w)
+    ing.close()
