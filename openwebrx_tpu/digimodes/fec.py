@@ -281,3 +281,60 @@ def rs_12_9_check(word12: np.ndarray) -> bool:
     """True when the 12-byte word (9 data + 3 parity) is a codeword."""
     return bool(np.all(rs_12_9_parity(np.asarray(word12[:9], np.uint8))
                        == np.asarray(word12[9:], np.uint8)))
+
+
+# ----------------------------------------------- K=3 convolutional --------
+# Rate-1/2, K=3 feed-forward code with generators G1=0b111, G2=0b101
+# (octal 7,5) — the D-Star radio-header code (JARL D-STAR spec).
+_G1_K3, _G2_K3 = 0b111, 0b101
+
+
+def conv_encode_k3(bits: np.ndarray) -> np.ndarray:
+    """bits (n,) → (n, 2) symbol bits; caller appends 2 flush zeros."""
+    bits = np.asarray(bits, np.uint8)
+    reg = 0
+    out = np.empty((len(bits), 2), np.uint8)
+    for i, b in enumerate(bits):
+        reg = ((reg << 1) | int(b)) & 0x7
+        out[i, 0] = bin(reg & _G1_K3).count("1") & 1
+        out[i, 1] = bin(reg & _G2_K3).count("1") & 1
+    return out
+
+
+def viterbi_decode_k3(symbols: np.ndarray, n_bits: int) -> np.ndarray:
+    """Hard-decision Viterbi (4 states) over (n,2) received bit pairs."""
+    symbols = np.asarray(symbols, np.uint8)
+    n = len(symbols)
+    NS = 4
+    metrics = np.full(NS, 1 << 30, np.int64)
+    metrics[0] = 0
+    paths = np.zeros((n, NS), np.uint8)
+    out0 = np.empty((NS, 2, 2), np.uint8)
+    for s in range(NS):
+        for b in range(2):
+            reg = ((s << 1) | b) & 0x7
+            out0[s, b, 0] = bin(reg & _G1_K3).count("1") & 1
+            out0[s, b, 1] = bin(reg & _G2_K3).count("1") & 1
+    for i in range(n):
+        new = np.full(NS, 1 << 30, np.int64)
+        prev = np.zeros(NS, np.uint8)
+        r = symbols[i]
+        for s in range(NS):
+            if metrics[s] >= (1 << 30):
+                continue
+            for b in range(2):
+                ns = ((s << 1) | b) & 0x3
+                cost = int(out0[s, b, 0] ^ r[0]) + int(out0[s, b, 1] ^ r[1])
+                m = metrics[s] + cost
+                if m < new[ns]:
+                    new[ns] = m
+                    prev[ns] = (s << 1) | b
+        paths[i] = prev
+        metrics = new
+    state = int(np.argmin(metrics))
+    bits = np.zeros(n, np.uint8)
+    for i in range(n - 1, -1, -1):
+        packed = int(paths[i, state])
+        bits[i] = packed & 1
+        state = (packed >> 1) & 0x3
+    return bits[:n_bits]

@@ -1,0 +1,156 @@
+"""Native D-Star link layer (round 5): header FEC round trips, callsign
+extraction, slow-data message assembly — the metadata the reference only
+gets through the external dstar_decoder binary
+(csdr/chain/digiham.py:78-99).  Round-trip validated (no off-air capture
+in this image; see digimodes/dstar.py docstring)."""
+
+import numpy as np
+
+from openwebrx_tpu.digimodes import dstar
+
+rng = np.random.default_rng(21)
+
+
+class TestHeader:
+    def test_roundtrip(self):
+        tx = dstar.header_encode("KD8XYZ", suffix="705", ur="CQCQCQ",
+                                 rpt1="W8XYZ  B", rpt2="W8XYZ  G")
+        assert len(tx) == 660
+        hdr = dstar.header_decode(tx)
+        assert hdr is not None
+        assert hdr["source"] == "KD8XYZ"
+        assert hdr["target"] == "CQCQCQ"
+        assert hdr["departure"] == "W8XYZ  B"
+        assert hdr["destination_rptr"] == "W8XYZ  G"
+        assert hdr["suffix"] == "705"
+
+    def test_viterbi_heals_channel_errors(self):
+        # K=3 d_free=5: ~2 correctable errors per error event — 6
+        # scattered errors over 660 bits decode reliably (10 breaks ~10 %
+        # of draws, as it would on air; the real code is this weak)
+        tx = dstar.header_encode("N0CALL")
+        e = tx.copy()
+        for p in rng.choice(660, 6, replace=False):
+            e[p] ^= 1
+        hdr = dstar.header_decode(e)
+        assert hdr is not None and hdr["source"] == "N0CALL"
+
+    def test_crc_rejects_garbage(self):
+        assert dstar.header_decode(
+            rng.integers(0, 2, 660).astype(np.uint8)) is None
+
+    def test_interleaver_bijective(self):
+        bits = rng.integers(0, 2, 660).astype(np.uint8)
+        assert np.array_equal(
+            dstar.deinterleave(dstar.interleave(bits)), bits)
+
+    def test_scrambler_self_inverse(self):
+        bits = rng.integers(0, 2, 660).astype(np.uint8)
+        assert np.array_equal(dstar.scramble(dstar.scramble(bits)), bits)
+
+
+def _build_stream(my="KD8XYZ", message="HELLO FROM TPU LAND "):
+    """Preamble + sync + header + voice frames carrying the message."""
+    hdr = dstar.header_encode(my)
+    parts = [rng.integers(0, 2, 101).astype(np.uint8),
+             dstar.SYNC, hdr]
+    # voice frames: AMBE bits random; slow data carries the message in
+    # 0x40-0x43 segments, each spanning two frames, between sync frames
+    segs = []
+    for i in range(4):
+        t = 0x40 + i
+        payload = message[i * 5:(i + 1) * 5].encode()
+        raw = bytes([t]) + payload        # 6 bytes over two frames
+        a = np.frombuffer(raw[:3], np.uint8) ^ dstar._SLOW_XOR
+        b = np.frombuffer(raw[3:6], np.uint8) ^ dstar._SLOW_XOR
+        segs.append((np.unpackbits(a), np.unpackbits(b)))
+    frame_no = 0
+    seg_i = 0
+    for _ in range(24):
+        voice = rng.integers(0, 2, 72).astype(np.uint8)
+        if frame_no % 21 == 0:
+            data = np.unpackbits(np.asarray([0x55, 0x2D, 0x16], np.uint8))
+            parts.append(np.concatenate([voice, data]))
+            frame_no += 1
+            continue
+        if seg_i < 4:
+            a, b = segs[seg_i]
+            parts.append(np.concatenate([voice, a]))
+            voice2 = rng.integers(0, 2, 72).astype(np.uint8)
+            parts.append(np.concatenate([voice2, b]))
+            frame_no += 2
+            seg_i += 1
+        else:
+            filler = np.unpackbits(
+                np.asarray([0x66, 0x66, 0x66], np.uint8) ^ dstar._SLOW_XOR)
+            parts.append(np.concatenate([voice, filler]))
+            frame_no += 1
+    return np.concatenate(parts)
+
+
+class TestStream:
+    def test_header_and_message_from_bitstream(self):
+        stream = _build_stream()
+        dec = dstar.DstarDecoder()
+        events = []
+        for i in range(0, len(stream), 197):
+            events += dec.feed_bits(stream[i:i + 197])
+        hdrs = [e for e in events if e.get("source")]
+        assert hdrs, f"no header: {events}"
+        assert hdrs[0]["source"] == "KD8XYZ"
+        msgs = [e for e in events if e.get("message")]
+        assert msgs, "slow-data message not assembled"
+        assert msgs[0]["message"] == "HELLO FROM TPU LAND"
+
+    def test_inverted_polarity(self):
+        stream = _build_stream() ^ 1
+        dec = dstar.DstarDecoder()
+        events = dec.feed_bits(stream)
+        hdrs = [e for e in events if e.get("source")]
+        assert hdrs and hdrs[0]["source"] == "KD8XYZ"
+
+    def test_dibit_feed_surface(self):
+        """The symbol path delivers dibits; bit = dibit>>1."""
+        stream = _build_stream()
+        dibits = (stream << 1).astype(np.uint8)
+        dec = dstar.DstarDecoder()
+        events = dec.feed_dibits(dibits)
+        assert any(e.get("source") == "KD8XYZ" for e in events)
+
+
+class TestEndToEnd:
+    def test_native_dstar_header_from_iq(self):
+        """2-level FSK IQ of a D-Star header → TPU symbol chain →
+        native header decode → callsign metadata through
+        DigitalVoiceHandle (no external binary)."""
+        import sys
+        import threading
+        import types
+        sys.path.insert(0, "tests")
+        from test_digital_voice import FS, c4fm_waveform
+        from openwebrx_tpu.runtime.device import DigitalVoiceHandle
+
+        bits = np.concatenate([
+            rng.integers(0, 2, 128).astype(np.uint8),
+            dstar.SYNC, dstar.header_encode("KD8XYZ", ur="CQCQCQ")])
+        # bit → 2-level dibit (0 → +1 ↔ 0b00, 1 → −1 ↔ 0b10); repeat the
+        # whole thing 3× so the timing estimator has runway
+        dibits = np.concatenate([(bits << 1), (bits << 1), (bits << 1)])
+        x = c4fm_waveform(dibits, baud=4800.0, dev_hz=1200.0,
+                          rrc_alpha=0.5)
+        runtime = types.SimpleNamespace(in_rate=FS, _lock=threading.RLock(),
+                                        secondary_handles=[])
+        handle = DigitalVoiceHandle(runtime, "dstar", 0.0,
+                                    command_override=["cat"])
+        metas = []
+        handle.meta_cb = metas.append
+        try:
+            n = len(x) // handle.block
+            for blk in np.split(x[: n * handle.block], n):
+                handle.feed(blk)
+        finally:
+            handle.pipeline.close()
+        hdrs = [m for m in metas if m.get("source")]
+        assert hdrs, f"no header decoded: {metas}"
+        assert hdrs[0]["source"] == "KD8XYZ"
+        assert hdrs[0]["protocol"] == "DSTAR"
