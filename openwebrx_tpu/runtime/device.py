@@ -660,6 +660,9 @@ class DigitalVoiceHandle:
         elif mode == "dstar":
             from openwebrx_tpu.digimodes.dstar import DstarDecoder
             self._frames = DstarDecoder(self.meta_parser.process)
+        elif mode == "nxdn":
+            from openwebrx_tpu.digimodes.nxdn import NxdnDecoder
+            self._frames = NxdnDecoder(self.meta_parser.process)
         self.pipeline = SubprocessPipeline(
             command_override or DV_DECODERS[mode], self._on_audio_bytes,
             line_based=False, on_meta_line=self.meta_parser.feed_line)
