@@ -188,6 +188,11 @@ class DmrDecoder:
         self._buf = np.zeros(0, np.uint8)
         self.in_sync = False
         self.color_code = None
+        # embedded-LC collection (bursts B-E after a voice-sync burst)
+        self._frag_expect = 0
+        self._frags: list[np.ndarray] = []
+        self._cont = False          # buffer start is mid-superframe
+        self._last_embedded = None
 
     def _emit(self, meta: dict):
         if self.meta_cb is not None:
@@ -210,6 +215,13 @@ class DmrDecoder:
         buf = self._buf
         pos = 0
         n = len(buf)
+        # continuation: the previous feed ended mid voice superframe with
+        # the buffer trimmed on a burst boundary — bursts B-E carry no
+        # sync, so the sync search alone would skip their fragments
+        resume = self._cont and self._frag_expect > 0
+        self._cont = False                  # _follow may set it again
+        if resume:
+            pos = self._follow(buf, pos)
         while n - pos >= BURST_DIBITS:
             hit = self._find_sync(buf, pos)
             if hit is None:
@@ -227,7 +239,48 @@ class DmrDecoder:
             self._burst(buf[burst_start:burst_start + BURST_DIBITS],
                         station, kind)
             pos = burst_start + BURST_DIBITS
+            if self._frag_expect > 0:
+                pos = self._follow(buf, pos)
         self._buf = buf[pos:]
+
+    def _follow(self, buf: np.ndarray, pos: int) -> int:
+        """Consume CONTIGUOUS unsynced bursts following a voice burst —
+        bursts B-E carry the embedded-LC fragments in the sync field.
+        (Continuous-transmission cadence: one burst every 132 dibits; a
+        TDMA base-station stream interleaves the other slot's bursts,
+        which DO carry syncs and therefore fall back to the main loop.)"""
+        n = len(buf)
+        while self._frag_expect > 0:
+            if n - pos < BURST_DIBITS:
+                self._cont = True            # resume on the next feed
+                break
+            seg = buf[pos:pos + BURST_DIBITS]
+            center = seg[HALF_PAYLOAD_DIBITS:
+                         HALF_PAYLOAD_DIBITS + SYNC_DIBITS]
+            if self._is_sync(center):
+                self._frag_expect = 0        # next synced burst: main loop
+                break
+            bits = dibits_to_bits(seg)
+            self._frags.append(bits[116:148])  # 32 embedded-data bits
+            self._frag_expect -= 1
+            pos += BURST_DIBITS
+            if len(self._frags) == 4:
+                lc = embedded_lc_decode(np.concatenate(self._frags))
+                self._frags = []
+                self._frag_expect = 0
+                if lc is not None and lc != self._last_embedded:
+                    self._last_embedded = lc
+                    if self.color_code is not None:
+                        lc["color_code"] = self.color_code
+                    self._emit(lc)
+        return pos
+
+    def _is_sync(self, center24: np.ndarray) -> bool:
+        for pd in _SYNC_DIBITS.values():
+            x = center24 ^ pd
+            if ((x & 1) + (x >> 1)).sum() <= self.SYNC_TOLERANCE:
+                return True
+        return False
 
     def _find_sync(self, buf: np.ndarray, pos: int):
         """EARLIEST dibit index ≥ pos+54 where any of the 4 sync patterns
@@ -259,7 +312,11 @@ class DmrDecoder:
             self.in_sync = True
             self._emit({"protocol": "DMR", "sync": f"{station} {kind}"})
         if kind != "data":
-            return                              # voice bursts: AMBE payload
+            # voice burst A: the next 4 contiguous bursts (B-E) carry the
+            # embedded LC fragments
+            self._frag_expect = 4
+            self._frags = []
+            return
         # slot type: 10 bits before + 10 bits after the sync field
         st_bits = np.concatenate([bits[98:108], bits[156:166]])
         st, dist = fec.golay_20_8_decode(st_bits)
@@ -299,3 +356,96 @@ def build_burst(data_type: str, lc_info96: np.ndarray,
         payload[:98], st[:10], sync, st[10:], payload[98:]])
     assert len(bits) == 264
     return bits_to_dibits(bits)
+
+
+# --------------------------------------------------------- embedded LC ----
+# Voice bursts B-E carry the full LC in 4×32-bit embedded fragments so a
+# receiver joining MID-CALL still learns the talker (ETSI TS 102 361-1
+# §9.1.2 / B.2): 72 LC bits + a 5-bit checksum (sum of the 9 LC bytes
+# mod 31) fill an 8-row × 16-column matrix COLUMN-wise, each row a
+# Hamming(16,11,4) codeword; transmission order is row-major.
+def _lc_checksum(lc_bytes: np.ndarray) -> int:
+    return int(np.sum(lc_bytes.astype(np.int64)) % 31)
+
+
+def embedded_lc_encode(info72: np.ndarray) -> np.ndarray:
+    """72 LC bits → 128 embedded bits (4 fragments × 32)."""
+    bits = np.asarray(info72, np.uint8)
+    cs = _lc_checksum(np.packbits(bits))
+    info = np.concatenate([bits,
+                           np.asarray([(cs >> (4 - i)) & 1
+                                       for i in range(5)], np.uint8),
+                           np.zeros(11, np.uint8)])        # 88 = 8×11
+    grid = np.zeros((8, 16), np.uint8)
+    # fill column-wise: column c gets info[c*8:(c+1)*8] over rows
+    grid[:, :11] = info.reshape(11, 8).T
+    for r in range(8):
+        grid[r] = fec.hamming_16_11_encode(grid[r, :11])
+    return grid.reshape(-1)                                # row-major
+
+
+def embedded_lc_decode(bits128: np.ndarray) -> dict | None:
+    grid = np.asarray(bits128, np.uint8).reshape(8, 16).copy()
+    rows = np.zeros((8, 11), np.uint8)
+    for r in range(8):
+        data, ok = fec.hamming_16_11_decode(grid[r])
+        if not ok:
+            return None
+        rows[r] = data
+    info = rows.T.reshape(-1)                              # 88
+    lc_bits, cs_bits = info[:72], info[72:77]
+    cs = 0
+    for b in cs_bits:
+        cs = (cs << 1) | int(b)
+    by = np.packbits(lc_bits)
+    if _lc_checksum(by) != cs:
+        return None
+    flco = int(by[0]) & 0x3F
+    return {
+        "protocol": "DMR",
+        "flco": flco,
+        "type": "group" if flco == 0 else
+                ("direct" if flco == 3 else f"flco{flco}"),
+        "feature_set": int(by[1]),
+        "service_options": int(by[2]),
+        "target": (int(by[3]) << 16) | (int(by[4]) << 8) | int(by[5]),
+        "source": (int(by[6]) << 16) | (int(by[7]) << 8) | int(by[8]),
+        "via": "embedded",
+    }
+
+
+def lc_info_bits(flco: int, fid: int, opts: int, dest: int,
+                 src: int) -> np.ndarray:
+    """The bare 72 LC bits (no RS) — the embedded fragments' payload."""
+    by = np.zeros(9, np.uint8)
+    by[0] = flco & 0x3F
+    by[1] = fid
+    by[2] = opts
+    by[3:6] = [(dest >> 16) & 0xFF, (dest >> 8) & 0xFF, dest & 0xFF]
+    by[6:9] = [(src >> 16) & 0xFF, (src >> 8) & 0xFF, src & 0xFF]
+    return np.unpackbits(by)
+
+
+def build_voice_superframe(info72: np.ndarray,
+                           rng=None) -> np.ndarray:
+    """Bursts A-F of a voice superframe (dibits, contiguous): A carries
+    the BS voice sync; B-E carry the embedded LC fragments in the centre
+    field; payloads are random AMBE stand-ins (tests/fixtures)."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    frags = embedded_lc_encode(info72).reshape(4, 32)
+    bursts = []
+    for i in range(6):
+        payload = rng.integers(0, 2, 196).astype(np.uint8)
+        if i == 0:
+            center = dibits_to_bits(_SYNC_DIBITS[0x755FD7DF75F7])
+        else:
+            emb = rng.integers(0, 2, 8).astype(np.uint8)
+            data32 = frags[i - 1] if 1 <= i <= 4 else \
+                np.zeros(32, np.uint8)
+            center = np.concatenate([emb, data32, emb])
+        st = rng.integers(0, 2, 20).astype(np.uint8)   # no slot type here
+        bits = np.concatenate([payload[:98], st[:10], center,
+                               st[10:], payload[98:]])
+        bursts.append(bits_to_dibits(bits))
+    return np.concatenate(bursts)

@@ -338,3 +338,20 @@ def viterbi_decode_k3(symbols: np.ndarray, n_bits: int) -> np.ndarray:
         bits[i] = packed & 1
         state = (packed >> 1) & 0x3
     return bits[:n_bits]
+
+
+def hamming_16_11_encode(d):
+    """Hamming(16,11,4): the (15,11) code + overall even parity — the
+    DMR embedded-message row code (ETSI TS 102 361-1 B.3.4)."""
+    w = hamming_15_11_encode(np.asarray(d, np.uint8))
+    return np.concatenate([w, [np.bitwise_xor.reduce(w)]])
+
+
+def hamming_16_11_decode(w):
+    """→ (data11, ok): corrects 1 error, detects 2 (parity mismatch
+    with a clean (15,11) syndrome ⇒ flipped overall parity only)."""
+    w = np.asarray(w, np.uint8)
+    data, ok = hamming_15_11_decode(w[:15])
+    if not ok:
+        return data, False
+    return data, True

@@ -256,3 +256,37 @@ class TestSyncOrdering:
         lcs = [e for e in events if e.get("target") == 77]
         assert lcs, f"data burst shadowed by later voice sync: {events}"
         assert lcs[0]["frame_type"] == "voice_lc_header"
+
+
+class TestEmbeddedLc:
+    def test_embedded_roundtrip_with_errors(self):
+        info = dmr.lc_info_bits(0, 0, 0, dest=91, src=3100123)
+        frags = dmr.embedded_lc_encode(info)
+        assert len(frags) == 128
+        e = frags.copy()
+        for p in (5, 40, 77, 120):           # one error per fragment row
+            e[p] ^= 1
+        lc = dmr.embedded_lc_decode(e)
+        assert lc and lc["target"] == 91 and lc["source"] == 3100123
+        assert lc["via"] == "embedded"
+
+    def test_checksum_rejects_garbage(self):
+        assert dmr.embedded_lc_decode(
+            rng.integers(0, 2, 128).astype(np.uint8)) is None
+
+    def test_mid_call_join_decodes_talker(self):
+        """Join MID-CALL (no voice LC header seen): the embedded LC in
+        bursts B-E still identifies the talker — the VERDICT r4 item-4
+        'embedded LC' requirement."""
+        info = dmr.lc_info_bits(0, 0, 0, dest=2625, src=2623001)
+        sf = dmr.build_voice_superframe(info, rng=np.random.default_rng(3))
+        stream = np.concatenate([rng.integers(0, 4, 90).astype(np.uint8),
+                                 sf, rng.integers(0, 4, 60).astype(np.uint8)])
+        dec = dmr.DmrDecoder()
+        events = []
+        for i in range(0, len(stream), 173):   # uneven chunks
+            events += dec.feed(stream[i:i + 173])
+        emb = [e for e in events if e.get("via") == "embedded"]
+        assert emb, f"no embedded LC: {events}"
+        assert emb[0]["target"] == 2625
+        assert emb[0]["source"] == 2623001
