@@ -116,19 +116,24 @@ class EasParser:
         self.on_message = on_message
         self._county_db = None
         path = None
+        country = "US"
         try:
             from openwebrx_tpu.core.config import Config
             path = Config.get().get("eas_fips_path")
+            country = Config.get().get("eas_country", "US")
         except Exception:
             pass
-        if not path:
-            # bundled seed table (major-metro counties; full census table
-            # drops in via the eas_fips_path config — see the CSV header)
-            path = os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "data", "eas_fips.csv")
         try:
-            from openwebrx_tpu.services.eas import load_county_db
-            self._county_db = load_county_db(path)
+            from openwebrx_tpu.services.eas import (
+                builtin_county_db, load_county_db,
+            )
+            if path:
+                # deployment-provided CSV overrides the shipped pack
+                self._county_db = load_county_db(path)
+            else:
+                # full shipped SAME tables (US default, CA via
+                # eas_country; data/same_counties.txt.gz)
+                self._county_db = builtin_county_db(country)
         except OSError:
             pass
 
