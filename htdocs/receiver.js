@@ -702,7 +702,34 @@ window.addEventListener("keydown", (e) => {
     case "b": app.bookmarkDialog.open(null); break;
     case "l": window.Lookup && Lookup.open(); break;
     case " ": document.getElementById("mute").click(); e.preventDefault(); break;
+    case "?": toggleShortcutHelp(); break;
   }
 });
+
+/* '?' overlay listing the bindings (reference lib/shortcuts help dialog) */
+function toggleShortcutHelp() {
+  let el = document.getElementById("shortcut-help");
+  if (el) { el.remove(); return; }
+  el = document.createElement("div");
+  el.id = "shortcut-help";
+  el.className = "dialog-backdrop";
+  const rows = [
+    ["\u2190 / \u2192", "tune down / up one step"],
+    ["z / Z", "zoom in / out"],
+    ["s", "toggle spectrum graph"],
+    ["b", "add bookmark at current frequency"],
+    ["l", "open the lookup panel"],
+    ["space", "mute / unmute"],
+    ["?", "this help"],
+  ].map(([k, d]) =>
+    `<tr><td class="key">${k}</td><td>${d}</td></tr>`).join("");
+  el.innerHTML = `<div class="dialog"><h3>Keyboard shortcuts</h3>
+    <table class="shortcut-table">${rows}</table>
+    <div class="dialog-buttons"><button class="primary">close</button></div>
+    </div>`;
+  el.querySelector("button").onclick = () => el.remove();
+  el.onclick = (ev) => { if (ev.target === el) el.remove(); };
+  document.body.appendChild(el);
+}
 
 connect();

@@ -77,8 +77,12 @@ def test_dom_ids_exist():
     html = read("index.html")
     ids = set(re.findall(r'id="([^"]+)"', html))
     for lib in ["receiver.js", "lib/Waterfall.js", "lib/AudioEngine.js"]:
-        for ref in re.findall(r'getElementById\("([^"]+)"\)', read(lib)):
-            assert ref in ids, f"{lib} references missing DOM id #{ref}"
+        src = read(lib)
+        # ids the script creates dynamically (el.id = "...") count too
+        dynamic = set(re.findall(r'\.id = "([^"]+)"', src))
+        for ref in re.findall(r'getElementById\("([^"]+)"\)', src):
+            assert ref in ids | dynamic, \
+                f"{lib} references missing DOM id #{ref}"
 
 
 def test_script_includes_exist():
@@ -185,3 +189,9 @@ def test_google_map_backend_wired():
     html = read("map.html")
     assert "lib/MapGoogle.js" in html
     assert 'cfg.map_type === "google"' in html
+
+
+def test_shortcut_help_overlay():
+    src = read("receiver.js")
+    assert "toggleShortcutHelp" in src and "shortcut-help" in src
+    assert read("index.html").count("shortcut-table") >= 1
