@@ -91,6 +91,38 @@ class FeatureDetector:
         "fifi_sdr": _which("arecord"),
         "perseussdr": _which("perseustest"),
         "file_source": lambda: True,
+        # natively-implemented capabilities the reference gates on
+        # external tools (multimon-ng / redsea / paho / imagemagick):
+        # always available here (digimodes/pocsag.py, digimodes/rds.py,
+        # reporting/mqtt.py, services/fax.py convert_to_png via Pillow or
+        # PPM fallback)
+        "pocsag": lambda: True,
+        "rds": lambda: True,
+        "mqtt": lambda: True,
+        "png": lambda: True,
+        # per-device feature names the reference frontend/settings check
+        # (owrx/feature.py device list); each resolves to its connector
+        # family's availability — kept so reference-shaped configs and
+        # clients see the names they expect
+        "airspy": _which("soapy_connector"),
+        "airspyhf": _which("soapy_connector"),
+        "hackrf": _which("soapy_connector"),
+        "sdrplay": _which("soapy_connector"),
+        "lime_sdr": _which("soapy_connector"),
+        "pluto_sdr": _which("soapy_connector"),
+        "bladerf": _which("soapy_connector"),
+        "uhd": _which("soapy_connector"),
+        "fcdpp": _which("soapy_connector"),
+        "mirics": _which("soapy_connector"),
+        "hydrasdr": _which("soapy_connector"),
+        "afedri": _which("soapy_connector"),
+        "radioberry": _which("soapy_connector"),
+        "rtl_sdr_soapy": _which("soapy_connector"),
+        "soapy_remote": _which("soapy_connector"),
+        "sddc_soapy": _which("soapy_connector"),
+        "sddc": _which("sddc_connector"),
+        "hpsdr": _which("hpsdr_connector"),
+        "runds": _which("runds_connector"),
     }
 
     def is_available(self, feature: str) -> bool:
