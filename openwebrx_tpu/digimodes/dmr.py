@@ -269,9 +269,12 @@ class DmrDecoder:
                 self._frags = []
                 self._frag_expect = 0
                 if lc is not None and lc != self._last_embedded:
-                    self._last_embedded = lc
+                    # store the UNDECORATED decode for dedup; decorating
+                    # the stored dict would make every later identical
+                    # superframe compare unequal and re-emit
+                    self._last_embedded = dict(lc)
                     if self.color_code is not None:
-                        lc["color_code"] = self.color_code
+                        lc = dict(lc, color_code=self.color_code)
                     self._emit(lc)
         return pos
 

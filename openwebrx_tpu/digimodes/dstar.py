@@ -42,16 +42,12 @@ _ROWS, _COLS = 24, 28
 
 
 def _interleave_tables():
-    order = np.argsort(
-        # slot (r, c) is read at position c*ROWS + r; keep slots < 660
-        np.arange(_ROWS * _COLS).reshape(_ROWS, _COLS).T.reshape(-1))
+    # slot (r, c) is read at position c*ROWS + r; keep slots < 660
     flat = np.arange(_ROWS * _COLS).reshape(_ROWS, _COLS).T.reshape(-1)
-    read_order = [s for s in flat if s < HEADER_BITS]
-    return np.asarray(read_order)
+    return np.asarray([s for s in flat if s < HEADER_BITS])
 
 
 _READ = _interleave_tables()          # transmitted i carries matrix[READ[i]]
-_WRITE = np.argsort(_READ)
 
 
 def interleave(bits660: np.ndarray) -> np.ndarray:
@@ -143,18 +139,6 @@ class SlowDataAssembler:
     def __init__(self):
         self._chars = [" "] * 20
         self._got = set()
-
-    def feed_frame(self, data3: np.ndarray):
-        by = np.packbits(np.asarray(data3, np.uint8))[:3] ^ _SLOW_XOR
-        t = int(by[0])
-        if 0x40 <= t <= 0x43:
-            idx = (t & 3) * 5
-            # the 2 remaining bytes here + next frame's 3 carry 5 chars;
-            # single-frame feed: store what this frame carries
-            for k, ch in enumerate(by[1:3]):
-                if 32 <= ch < 127:
-                    self._chars[idx + k] = chr(ch)
-            self._got.add(t & 3)
 
     def feed_pair(self, first3: np.ndarray, second3: np.ndarray):
         """A slow-data segment spans TWO voice frames (3+3 bytes): type +
@@ -258,6 +242,19 @@ class DstarDecoder:
             frame = buf[pos:pos + self.VOICE_FRAME_BITS]
             if self._inverted:
                 frame = frame ^ 1
+            # a frame-sync pattern at the frame START means the previous
+            # transmission was cut and a NEW one began here: leave voice
+            # mode so the header search catches it (staying in cadence
+            # would swallow the new call's header)
+            head = buf[pos:pos + len(SYNC)]
+            if self._frame_no % 21 != 0 and (
+                    int((head ^ SYNC).sum()) <= self.SYNC_TOLERANCE or
+                    int((head ^ SYNC ^ 1).sum()) <= self.SYNC_TOLERANCE):
+                self._in_voice = False
+                if self._last is not None:
+                    emit(dict(self._last, end=True))
+                    self._last = None
+                return pos
             data = frame[72:]
             if self._frame_no % 21 == 0:
                 if self._frame_no > 0 and int((data ^ SYNC).sum()) > 6:

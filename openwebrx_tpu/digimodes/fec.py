@@ -348,10 +348,18 @@ def hamming_16_11_encode(d):
 
 
 def hamming_16_11_decode(w):
-    """→ (data11, ok): corrects 1 error, detects 2 (parity mismatch
-    with a clean (15,11) syndrome ⇒ flipped overall parity only)."""
+    """SECDED decode → (data11, ok): corrects 1 error, DETECTS 2.
+
+    Extended-Hamming logic: clean (15,11) syndrome + good overall parity
+    ⇒ clean; clean syndrome + bad parity ⇒ only the parity bit flipped;
+    dirty syndrome + bad parity ⇒ single correctable error; dirty
+    syndrome + GOOD parity ⇒ double error — reject (a bare (15,11)
+    decode would silently miscorrect it)."""
     w = np.asarray(w, np.uint8)
-    data, ok = hamming_15_11_decode(w[:15])
-    if not ok:
-        return data, False
-    return data, True
+    parity_ok = int(np.bitwise_xor.reduce(w)) == 0
+    syndrome_clean = np.array_equal(hamming_15_11_encode(w[:11]), w[:15])
+    if syndrome_clean:
+        return w[:11].copy(), True          # parity-bit-only flip is fine
+    if parity_ok:
+        return w[:11].copy(), False         # double error detected
+    return hamming_15_11_decode(w[:15])     # single error: correct it

@@ -144,7 +144,12 @@ class SuperframeAssembler:
         self._parts: dict[int, int] = {}
 
     def feed(self, structure: int, payload18: int):
-        """structure 3..0 indexes the remaining segments."""
+        """structure 3..0 indexes the remaining segments.  structure==3
+        STARTS a superframe: stale fragments of a previous (partially
+        lost) call are dropped, or segments of different calls would
+        merge into chimeric unit IDs."""
+        if structure == 3:
+            self._parts = {}
         self._parts[3 - structure] = payload18
         if len(self._parts) == 4 and set(self._parts) == {0, 1, 2, 3}:
             blob = 0
@@ -203,8 +208,13 @@ class NxdnDecoder:
             if hit + FRAME_DIBITS > len(buf):
                 pos = hit
                 break
-            self._frame(buf[hit:hit + FRAME_DIBITS], emit)
-            pos = hit + FRAME_DIBITS
+            if self._frame(buf[hit:hit + FRAME_DIBITS], emit):
+                pos = hit + FRAME_DIBITS
+            else:
+                # false FSW match (20 bits, tolerance 2): advancing a
+                # whole frame would swallow a REAL frame starting inside
+                # this span — step one dibit instead
+                pos = hit + 1
         self._buf = buf[pos:]
         return events
 
@@ -219,19 +229,21 @@ class NxdnDecoder:
         ok = np.flatnonzero(dist <= self.SYNC_TOLERANCE)
         return pos + int(ok[0]) if len(ok) else None
 
-    def _frame(self, frame: np.ndarray, emit):
+    def _frame(self, frame: np.ndarray, emit) -> bool:
+        """Returns True when the frame decoded (LICH + SACCH valid)."""
         payload = frame[FSW_DIBITS:]
         bits = np.empty(2 * len(payload), np.uint8)
         bits[0::2] = payload >> 1
         bits[1::2] = payload & 1
         lich = lich_decode(bits[:16])
         if lich is None:
-            return
+            return False
         sacch = sacch_decode(bits[16:16 + 60])
         if sacch is None:
-            return
+            return False
         structure, payload18 = sacch
         meta = self._sf.feed(structure, payload18)
         if meta is not None:
             meta["lich"] = lich
             emit(meta)
+        return True

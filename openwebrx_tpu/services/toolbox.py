@@ -8,7 +8,6 @@ These attach to SubprocessPipeline instances fed by the TPU demod chains.
 from __future__ import annotations
 
 import logging
-import os
 import re
 
 logger = logging.getLogger(__name__)

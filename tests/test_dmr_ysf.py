@@ -290,3 +290,19 @@ class TestEmbeddedLc:
         assert emb, f"no embedded LC: {events}"
         assert emb[0]["target"] == 2625
         assert emb[0]["source"] == 2623001
+
+
+def test_embedded_lc_dedup_with_color_code():
+    """Round-5 review regression: decorating the emitted dict must not
+    break dedup — identical superframes emit ONCE."""
+    info = dmr.lc_info_bits(0, 0, 0, dest=9, src=99)
+    dec = dmr.DmrDecoder()
+    dec.color_code = 7
+    stream = np.concatenate([
+        dmr.build_voice_superframe(info, rng=np.random.default_rng(1)),
+        dmr.build_voice_superframe(info, rng=np.random.default_rng(2)),
+        dmr.build_voice_superframe(info, rng=np.random.default_rng(3))])
+    events = dec.feed(stream)
+    emb = [e for e in events if e.get("via") == "embedded"]
+    assert len(emb) == 1, f"duplicate embedded emissions: {emb}"
+    assert emb[0]["color_code"] == 7

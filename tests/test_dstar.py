@@ -154,3 +154,30 @@ class TestEndToEnd:
         assert hdrs, f"no header decoded: {metas}"
         assert hdrs[0]["source"] == "KD8XYZ"
         assert hdrs[0]["protocol"] == "DSTAR"
+
+
+class TestCutTransmission:
+    def test_new_header_after_abrupt_cut(self):
+        """Round-5 review regression: transmission A cut mid-superframe
+        must not swallow transmission B's sync+header."""
+        hdr_a = dstar.header_encode("AA1AAA")
+        hdr_b = dstar.header_encode("BB2BBB")
+        frames_a = []
+        for i in range(8):                      # cut after 8 frames
+            voice = rng.integers(0, 2, 72).astype(np.uint8)
+            data = np.unpackbits(np.asarray([0x55, 0x2D, 0x16], np.uint8)) \
+                if i == 0 else np.unpackbits(
+                    np.asarray([0x66, 0x66, 0x66], np.uint8) ^ dstar._SLOW_XOR)
+            frames_a.append(np.concatenate([voice, data]))
+        stream = np.concatenate(
+            [rng.integers(0, 2, 77).astype(np.uint8),
+             dstar.SYNC, hdr_a] + frames_a +
+            [dstar.SYNC, hdr_b,
+             rng.integers(0, 2, 50).astype(np.uint8)])
+        dec = dstar.DstarDecoder()
+        events = []
+        for i in range(0, len(stream), 331):
+            events += dec.feed_bits(stream[i:i + 331])
+        srcs = [e["source"] for e in events if e.get("source")]
+        assert "AA1AAA" in srcs
+        assert "BB2BBB" in srcs, f"second header swallowed: {events}"

@@ -101,3 +101,21 @@ class TestStream:
         calls = [m for m in metas if m.get("type") == "vcall"]
         assert calls, f"no VCALL decoded: {metas}"
         assert calls[0]["source"] == 42 and calls[0]["target"] == 777
+
+
+class TestSuperframeIsolation:
+    def test_no_chimeric_ids_across_calls(self):
+        """Round-5 review regression: stale fragments of a partially-lost
+        call must not merge with the next call's segments."""
+        segs_a = nxdn.vcall_segments(src=0x1111, dst=0x2222)
+        segs_b = nxdn.vcall_segments(src=0x3333, dst=0x4444)
+        frames = [nxdn.build_frame(0x40, *segs_a[0]),   # A: only 3,2
+                  nxdn.build_frame(0x40, *segs_a[1])] + \
+                 [nxdn.build_frame(0x40, st, pl) for st, pl in segs_b]
+        dec = nxdn.NxdnDecoder()
+        events = dec.feed(np.concatenate(
+            [rng.integers(0, 4, 60).astype(np.uint8)] + frames))
+        calls = [e for e in events if e.get("type") == "vcall"]
+        assert calls, events
+        assert all(c["source"] == 0x3333 and c["target"] == 0x4444
+                   for c in calls), f"chimeric IDs: {calls}"
