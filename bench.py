@@ -537,8 +537,9 @@ def bench_config6():
     churn = {"retunes": 0, "migrations": 0}
     try:
         ka = _keepalive(); ka.__enter__()
-        for _ in range(WARMUP + 22):   # long warm-in measured: the leg
-            # sustains ~2x only after ~25 blocks (transport + allocator ramp)
+        for _ in range(WARMUP + 42):   # long warm-in measured: this
+            # leg's transfer shapes ramp for ~45 blocks before sustaining ~2x
+            # (transport window growth + allocator steady-state)
             runtime._process_block(source.read_block(timeout=10.0))
         windows = []
         depth = 3
